@@ -9,6 +9,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The environment's sitecustomize may have pre-registered a TPU backend with
+# JAX_PLATFORMS latched; force the CPU platform explicitly.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
