@@ -1,0 +1,263 @@
+"""TPU-native person detector — batched YOLO-family conv net + fused postprocess.
+
+Replaces the reference's ultralytics YOLOv5m dependency
+(/root/reference/model.py:18 loads ./models/yolov5mu.pt; :36-40 runs
+``model.track(frame, persist=True, classes=[0])`` one frame at a time). The
+reference repo ships no detector code or weights of its own — the capability
+is "per-frame person boxes (+ track ids) from video" — so this module
+provides the architecture and batched inference path, TPU-first:
+
+- CSP backbone + SPPF + PAN neck + decoupled anchor-free head (3 scales,
+  strides 8/16/32), width/depth multipliers matching the v5m scale point
+  (0.75/0.67)
+- bfloat16 compute everywhere (MXU-native), fp32 params
+- whole-batch inference: letterbox -> backbone -> decode -> top-K -> Pallas
+  NMS in ONE jitted program; no per-frame host round-trips
+- optional pose head (17 COCO keypoints per detection) to feed the
+  Shopformer tokenizer in the streaming pipeline
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvsd_tpu.ops.nms import batched_nms
+
+
+def _round_ch(c: float, divisor: int = 8) -> int:
+    return max(divisor, int(math.ceil(c / divisor) * divisor))
+
+
+class ConvBNAct(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        p = (self.kernel - 1) // 2  # even kernels (stem k=6 s=2) need p = k//2 - 1
+        x = nn.Conv(self.features, (self.kernel, self.kernel), (self.stride, self.stride),
+                    padding=((p, p), (p, p)), use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97, dtype=self.dtype)(x)
+        return nn.silu(x)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    shortcut: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = ConvBNAct(self.features, 1, dtype=self.dtype)(x, train)
+        y = ConvBNAct(self.features, 3, dtype=self.dtype)(y, train)
+        return x + y if (self.shortcut and x.shape[-1] == self.features) else y
+
+
+class C3(nn.Module):
+    """CSP block with n bottlenecks."""
+
+    features: int
+    n: int = 1
+    shortcut: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_h = self.features // 2
+        a = ConvBNAct(c_h, 1, dtype=self.dtype)(x, train)
+        b = ConvBNAct(c_h, 1, dtype=self.dtype)(x, train)
+        for _ in range(self.n):
+            a = Bottleneck(c_h, self.shortcut, dtype=self.dtype)(a, train)
+        return ConvBNAct(self.features, 1, dtype=self.dtype)(jnp.concatenate([a, b], -1), train)
+
+
+class SPPF(nn.Module):
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_h = self.features // 2
+        x = ConvBNAct(c_h, 1, dtype=self.dtype)(x, train)
+        pool = lambda v: nn.max_pool(v, (5, 5), strides=(1, 1), padding="SAME")  # noqa: E731
+        p1 = pool(x)
+        p2 = pool(p1)
+        p3 = pool(p2)
+        return ConvBNAct(self.features, 1, dtype=self.dtype)(jnp.concatenate([x, p1, p2, p3], -1), train)
+
+
+class Backbone(nn.Module):
+    width_mult: float = 0.75
+    depth_mult: float = 0.67
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        w = lambda c: _round_ch(c * self.width_mult)  # noqa: E731
+        d = lambda n: max(1, round(n * self.depth_mult))  # noqa: E731
+        x = ConvBNAct(w(64), 6, 2, dtype=self.dtype)(x, train)          # /2
+        x = ConvBNAct(w(128), 3, 2, dtype=self.dtype)(x, train)         # /4
+        x = C3(w(128), d(3), dtype=self.dtype)(x, train)
+        x = ConvBNAct(w(256), 3, 2, dtype=self.dtype)(x, train)         # /8
+        p3 = x = C3(w(256), d(6), dtype=self.dtype)(x, train)
+        x = ConvBNAct(w(512), 3, 2, dtype=self.dtype)(x, train)         # /16
+        p4 = x = C3(w(512), d(9), dtype=self.dtype)(x, train)
+        x = ConvBNAct(w(1024), 3, 2, dtype=self.dtype)(x, train)        # /32
+        x = C3(w(1024), d(3), dtype=self.dtype)(x, train)
+        p5 = SPPF(w(1024), dtype=self.dtype)(x, train)
+        return p3, p4, p5
+
+
+def _upsample2(x: jax.Array) -> jax.Array:
+    B, H, W, C = x.shape
+    return jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+
+
+class PANNeck(nn.Module):
+    width_mult: float = 0.75
+    depth_mult: float = 0.67
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        p3, p4, p5 = feats
+        w = lambda c: _round_ch(c * self.width_mult)  # noqa: E731
+        d = lambda n: max(1, round(n * self.depth_mult))  # noqa: E731
+        # top-down
+        t5 = ConvBNAct(w(512), 1, dtype=self.dtype)(p5, train)
+        x = jnp.concatenate([_upsample2(t5), p4], -1)
+        x = C3(w(512), d(3), shortcut=False, dtype=self.dtype)(x, train)
+        t4 = ConvBNAct(w(256), 1, dtype=self.dtype)(x, train)
+        x = jnp.concatenate([_upsample2(t4), p3], -1)
+        n3 = C3(w(256), d(3), shortcut=False, dtype=self.dtype)(x, train)
+        # bottom-up
+        x = ConvBNAct(w(256), 3, 2, dtype=self.dtype)(n3, train)
+        x = jnp.concatenate([x, t4], -1)
+        n4 = C3(w(512), d(3), shortcut=False, dtype=self.dtype)(x, train)
+        x = ConvBNAct(w(512), 3, 2, dtype=self.dtype)(n4, train)
+        x = jnp.concatenate([x, t5], -1)
+        n5 = C3(w(1024), d(3), shortcut=False, dtype=self.dtype)(x, train)
+        return n3, n4, n5
+
+
+class DetectHead(nn.Module):
+    """Decoupled anchor-free head: box (4) + objectness (1) [+ keypoints 17x3]."""
+
+    num_keypoints: int = 0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c = x.shape[-1]
+        b = ConvBNAct(c, 3, dtype=self.dtype)(x, train)
+        b = nn.Conv(4, (1, 1), dtype=self.dtype)(b)
+        s = ConvBNAct(c, 3, dtype=self.dtype)(x, train)
+        s = nn.Conv(1, (1, 1), dtype=self.dtype)(s)
+        outs = [b, s]
+        if self.num_keypoints:
+            k = ConvBNAct(c, 3, dtype=self.dtype)(x, train)
+            k = nn.Conv(self.num_keypoints * 3, (1, 1), dtype=self.dtype)(k)
+            outs.append(k)
+        return jnp.concatenate(outs, -1)  # (B, H, W, 5[+3K])
+
+
+class PersonDetector(nn.Module):
+    """Full detector: backbone -> PAN -> heads at strides 8/16/32."""
+
+    img_size: int = 640
+    width_mult: float = 0.75
+    depth_mult: float = 0.67
+    num_keypoints: int = 0  # 17 to enable the pose head
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
+        """images: (B, S, S, 3) in [0,1] (already letterboxed).
+        Returns raw per-level maps {'p3','p4','p5'}."""
+        feats = Backbone(self.width_mult, self.depth_mult, dtype=self.dtype)(images, train)
+        n3, n4, n5 = PANNeck(self.width_mult, self.depth_mult, dtype=self.dtype)(feats, train)
+        head = lambda: DetectHead(self.num_keypoints, dtype=self.dtype)  # noqa: E731
+        return {"p3": head()(n3, train), "p4": head()(n4, train), "p5": head()(n5, train)}
+
+    def init_variables(self, rng: jax.Array, batch_size: int = 1):
+        dummy = jnp.zeros((batch_size, self.img_size, self.img_size, 3), self.dtype)
+        return self.init({"params": rng}, dummy, train=False)
+
+
+STRIDES = (8, 16, 32)
+
+
+def decode_predictions(
+    raw: Dict[str, jax.Array], img_size: int = 640, num_keypoints: int = 0
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """Raw head maps -> flat (boxes_xyxy (B,A,4), scores (B,A), kpts (B,A,K,3))
+    in letterboxed-pixel coordinates. A = sum_l (S/stride_l)^2 (8400 @ 640)."""
+    boxes_all, scores_all, kpts_all = [], [], []
+    for name, stride in zip(("p3", "p4", "p5"), STRIDES):
+        x = raw[name].astype(jnp.float32)
+        B, H, W, _ = x.shape
+        gy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        gx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+        tx, ty, tw, th = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
+        cx = (gx + jax.nn.sigmoid(tx)) * stride
+        cy = (gy + jax.nn.sigmoid(ty)) * stride
+        w = jnp.exp(jnp.clip(tw, -4.0, 4.0)) * stride
+        h = jnp.exp(jnp.clip(th, -4.0, 4.0)) * stride
+        boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+        score = jax.nn.sigmoid(x[..., 4])
+        boxes_all.append(boxes.reshape(B, H * W, 4))
+        scores_all.append(score.reshape(B, H * W))
+        if num_keypoints:
+            k = x[..., 5 : 5 + num_keypoints * 3].reshape(B, H, W, num_keypoints, 3)
+            kx = (gx[..., None] + k[..., 0] * 2.0) * stride
+            ky = (gy[..., None] + k[..., 1] * 2.0) * stride
+            kc = jax.nn.sigmoid(k[..., 2])
+            kpts_all.append(jnp.stack([kx, ky, kc], -1).reshape(B, H * W, num_keypoints, 3))
+    boxes = jnp.concatenate(boxes_all, axis=1)
+    scores = jnp.concatenate(scores_all, axis=1)
+    kpts = jnp.concatenate(kpts_all, axis=1) if kpts_all else None
+    return boxes, scores, kpts
+
+
+def make_detect_fn(
+    model: PersonDetector,
+    conf_thresh: float = 0.25,
+    iou_thresh: float = 0.45,
+    max_detections: int = 128,
+    use_pallas: bool = True,
+):
+    """Build the fused jittable detect function:
+    (variables, images) -> (boxes (B,M,4) xyxy, scores (B,M), valid (B,M)).
+    Keypoints, when enabled, are gathered for the kept detections."""
+
+    def detect(variables, images):
+        raw = model.apply(variables, images, train=False)
+        boxes, scores, kpts = decode_predictions(raw, model.img_size, model.num_keypoints)
+        out_boxes, out_scores, valid, anchor_idx = batched_nms(
+            boxes, scores, conf_thresh, iou_thresh, max_detections, use_pallas=use_pallas
+        )
+        if kpts is None:
+            return out_boxes, out_scores, valid
+        out_kpts = jnp.take_along_axis(kpts, anchor_idx[..., None, None], axis=1)
+        return out_boxes, out_scores, valid, out_kpts
+
+    return jax.jit(detect)
+
+
+def build_detector(config: Dict[str, Any]) -> PersonDetector:
+    d = config.get("detector", {})
+    return PersonDetector(
+        img_size=int(d.get("img_size", 640)),
+        width_mult=float(d.get("width_mult", 0.75)),
+        depth_mult=float(d.get("depth_mult", 0.67)),
+        num_keypoints=17 if d.get("pose_head") else 0,
+        dtype=jnp.dtype(d.get("dtype", "bfloat16")),
+    )

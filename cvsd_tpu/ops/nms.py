@@ -1,0 +1,152 @@
+"""Non-maximum suppression on TPU — static shapes, Pallas kernel + JAX reference.
+
+The reference relies on ultralytics/torchvision CUDA NMS inside
+``model.track`` (/root/reference/model.py:38). Data-dependent box counts
+fight XLA's static shapes, so the TPU design is:
+
+1. confidence mask + per-image top-K candidate prefilter (lax.top_k — sorted
+   by score, static K)
+2. greedy suppression over the fixed K*K IoU matrix — either a pure-JAX
+   fori_loop (`nms_jax`) or a fused Pallas kernel (`nms_pallas`) that builds
+   the IoU matrix in VMEM and runs the whole suppression loop on-chip with no
+   HBM round-trips
+3. fixed max_detections output with a validity mask
+
+Everything is batched over images; no host synchronization anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from cvsd_tpu.ops.iou import box_iou_matrix
+
+
+def _suppress(iou: jnp.ndarray, init_alive: jnp.ndarray, iou_thresh: float) -> jnp.ndarray:
+    """Greedy suppression over score-desc-sorted candidates.
+    iou: (..., K, K); init_alive: (..., K) bool. Returns alive mask."""
+    K = iou.shape[-1]
+    cols = jnp.arange(K)
+
+    def body(i, alive):
+        row = jnp.take(iou, i, axis=-2)  # (..., K)
+        anchor_alive = jnp.take(alive, i, axis=-1)[..., None]
+        suppress = (row > iou_thresh) & (cols > i) & anchor_alive
+        return alive & ~suppress
+
+    return jax.lax.fori_loop(0, K, body, init_alive)
+
+
+def nms_jax(
+    boxes: jnp.ndarray,  # (K, 4) xyxy, sorted by descending score
+    scores: jnp.ndarray,  # (K,)
+    iou_thresh: float = 0.45,
+    conf_thresh: float = 0.0,
+) -> jnp.ndarray:
+    """Reference greedy NMS -> keep mask (K,) bool."""
+    iou = box_iou_matrix(boxes, boxes)
+    alive = scores >= conf_thresh
+    return _suppress(iou, alive, iou_thresh)
+
+
+def _nms_kernel(boxes_ref, alive_ref, keep_ref, *, iou_thresh: float):
+    """Per-image fused kernel: IoU matrix + suppression loop, all in VMEM."""
+    b = boxes_ref[0]  # (K, 4)
+    K = b.shape[0]
+    x1, y1, x2, y2 = b[:, 0:1], b[:, 1:2], b[:, 2:3], b[:, 3:4]  # (K, 1)
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    # pairwise intersections via (K,1) x (1,K) broadcasts on the VPU
+    ix = jnp.maximum(jnp.minimum(x2, x2.T) - jnp.maximum(x1, x1.T), 0.0)
+    iy = jnp.maximum(jnp.minimum(y2, y2.T) - jnp.maximum(y1, y1.T), 0.0)
+    inter = ix * iy
+    union = area + area.T - inter
+    iou = inter / jnp.maximum(union, 1e-9)  # (K, K)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+
+    def body(i, alive):  # alive: (1, K) float32 in {0,1}
+        row = jax.lax.dynamic_slice_in_dim(iou, i, 1, axis=0)  # (1, K)
+        anchor = jax.lax.dynamic_slice_in_dim(alive, i, 1, axis=1)  # (1, 1)
+        suppress = (row > iou_thresh) & (cols > i) & (anchor > 0.5)
+        return jnp.where(suppress, 0.0, alive)
+
+    alive = jax.lax.fori_loop(0, K, body, alive_ref[0][None, :])
+    keep_ref[0] = alive[0]
+
+
+def nms_pallas(
+    boxes: jnp.ndarray,  # (B, K, 4) xyxy, sorted by descending score per image
+    alive: jnp.ndarray,  # (B, K) float32 initial mask (conf-thresholded)
+    iou_thresh: float = 0.45,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Batched greedy NMS -> keep mask (B, K) float32. Grid over images; each
+    grid step holds one image's K candidates in VMEM."""
+    B, K, _ = boxes.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(_nms_kernel, iou_thresh=iou_thresh)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, K, 4), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, K), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, K), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, K), jnp.float32),
+        interpret=interpret,
+    )(boxes.astype(jnp.float32), alive.astype(jnp.float32))
+
+
+def batched_nms(
+    boxes: jnp.ndarray,  # (B, A, 4) xyxy
+    scores: jnp.ndarray,  # (B, A)
+    conf_thresh: float = 0.25,
+    iou_thresh: float = 0.45,
+    max_detections: int = 128,
+    pre_topk: int = 256,
+    use_pallas: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full detection postprocess: conf mask -> top-K prefilter -> greedy NMS ->
+    fixed-size (boxes, scores, valid, anchor_idx) outputs.
+
+    Returns: boxes (B, max_detections, 4), scores (B, max_detections),
+             valid (B, max_detections) bool, anchor_idx (B, max_detections)
+             int32 indices into the original A anchors (0 where invalid).
+    """
+    B, A, _ = boxes.shape
+    K = min(pre_topk, A)
+    masked = jnp.where(scores >= conf_thresh, scores, -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(masked, K)  # sorted desc
+    cand_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)  # (B, K, 4)
+    init_alive = jnp.isfinite(top_scores)
+
+    if use_pallas:
+        keep = nms_pallas(cand_boxes, init_alive.astype(jnp.float32), iou_thresh) > 0.5
+    else:
+        keep = jax.vmap(lambda b, a: _suppress(box_iou_matrix(b, b), a, iou_thresh))(
+            cand_boxes, init_alive
+        )
+
+    final_scores = jnp.where(keep & init_alive, top_scores, -jnp.inf)
+    M = min(max_detections, K)
+    out_scores, out_idx = jax.lax.top_k(final_scores, M)
+    out_boxes = jnp.take_along_axis(cand_boxes, out_idx[..., None], axis=1)
+    anchor_idx = jnp.take_along_axis(top_idx, out_idx, axis=1)
+    valid = jnp.isfinite(out_scores)
+    out_scores = jnp.where(valid, out_scores, 0.0)
+    out_boxes = jnp.where(valid[..., None], out_boxes, 0.0)
+    anchor_idx = jnp.where(valid, anchor_idx, 0).astype(jnp.int32)
+    if M < max_detections:
+        pad = max_detections - M
+        out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)))
+        out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+        anchor_idx = jnp.pad(anchor_idx, ((0, 0), (0, pad)))
+    return out_boxes, out_scores, valid, anchor_idx

@@ -1,0 +1,180 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvsd_tpu.models.detector import PersonDetector, decode_predictions, make_detect_fn
+from cvsd_tpu.ops import (
+    batched_nms,
+    box_iou_matrix,
+    letterbox_batch,
+    letterbox_params,
+    nms_jax,
+    nms_pallas,
+    xywh_to_xyxy,
+    xyxy_to_xywhn,
+)
+from cvsd_tpu.ops.letterbox import PAD_VALUE, unletterbox_boxes
+
+
+# ---------- box utils ----------
+
+def test_box_conversions_roundtrip(rng):
+    xywh = np.abs(rng.normal(size=(10, 4))) + 0.1
+    xyxy = np.asarray(xywh_to_xyxy(jnp.asarray(xywh)))
+    assert np.all(xyxy[:, 2] >= xyxy[:, 0])
+    n = np.asarray(xyxy_to_xywhn(jnp.asarray(xyxy), 640.0, 480.0))
+    np.testing.assert_allclose(n[:, 0] * 640, xywh[:, 0], rtol=1e-5)
+    np.testing.assert_allclose(n[:, 3] * 480, xywh[:, 3], rtol=1e-5)
+
+
+def test_iou_matrix_known_values():
+    a = jnp.asarray([[0, 0, 10, 10], [0, 0, 5, 5]], jnp.float32)
+    b = jnp.asarray([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]], jnp.float32)
+    iou = np.asarray(box_iou_matrix(a, b))
+    np.testing.assert_allclose(iou[0, 0], 1.0)
+    np.testing.assert_allclose(iou[0, 1], 25 / 175, rtol=1e-5)
+    np.testing.assert_allclose(iou[0, 2], 0.0)
+    np.testing.assert_allclose(iou[1, 1], 0.0)
+
+
+# ---------- NMS ----------
+
+def _numpy_greedy_nms(boxes, scores, iou_t):
+    """Plain O(n^2) reference (boxes sorted by desc score)."""
+    n = len(boxes)
+    keep = np.ones(n, bool)
+    for i in range(n):
+        if not keep[i]:
+            continue
+        for j in range(i + 1, n):
+            if not keep[j]:
+                continue
+            xx1 = max(boxes[i, 0], boxes[j, 0]); yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2]); yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(xx2 - xx1, 0) * max(yy2 - yy1, 0)
+            a1 = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            a2 = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / max(a1 + a2 - inter, 1e-9) > iou_t:
+                keep[j] = False
+    return keep
+
+
+@pytest.fixture
+def random_boxes(rng):
+    n = 64
+    cxy = rng.uniform(50, 590, (n, 2))
+    wh = rng.uniform(20, 120, (n, 2))
+    boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], 1).astype(np.float32)
+    scores = np.sort(rng.uniform(0.01, 1.0, n).astype(np.float32))[::-1].copy()
+    return boxes, scores
+
+
+def test_nms_jax_matches_numpy(random_boxes):
+    boxes, scores = random_boxes
+    keep = np.asarray(nms_jax(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+    expected = _numpy_greedy_nms(boxes, scores, 0.5)
+    np.testing.assert_array_equal(keep, expected)
+
+
+def test_nms_pallas_matches_jax(random_boxes):
+    boxes, scores = random_boxes
+    keep_ref = np.asarray(nms_jax(jnp.asarray(boxes), jnp.asarray(scores), 0.45))
+    keep_pl = np.asarray(
+        nms_pallas(jnp.asarray(boxes)[None], jnp.ones((1, len(boxes)), jnp.float32), 0.45)
+    )[0] > 0.5
+    np.testing.assert_array_equal(keep_pl, keep_ref)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_batched_nms_end_to_end(use_pallas):
+    # two identical high-score boxes + one distinct -> 2 detections
+    boxes = jnp.asarray(
+        [[[10, 10, 50, 50], [12, 12, 52, 52], [200, 200, 240, 240], [0, 0, 1, 1]]], jnp.float32
+    )
+    scores = jnp.asarray([[0.9, 0.85, 0.8, 0.1]], jnp.float32)
+    out_boxes, out_scores, valid, anchor_idx = batched_nms(
+        boxes, scores, conf_thresh=0.25, iou_thresh=0.45, max_detections=8,
+        pre_topk=4, use_pallas=use_pallas,
+    )
+    assert int(valid.sum()) == 2
+    kept = np.asarray(out_scores[0][np.asarray(valid[0])])
+    np.testing.assert_allclose(sorted(kept, reverse=True), [0.9, 0.8], atol=1e-6)
+    kept_idx = set(np.asarray(anchor_idx[0][np.asarray(valid[0])]).tolist())
+    assert kept_idx == {0, 2}
+
+
+# ---------- letterbox ----------
+
+def test_letterbox_geometry():
+    scale, pad_x, pad_y, new_w, new_h = letterbox_params(480, 640, 640)
+    assert scale == 1.0 and new_w == 640 and new_h == 480
+    assert pad_x == 0 and pad_y == 80
+
+
+def test_letterbox_batch_values(rng):
+    frames = rng.integers(0, 255, (2, 480, 640, 3)).astype(np.uint8)
+    out = np.asarray(letterbox_batch(jnp.asarray(frames), size=640, dtype=jnp.float32))
+    assert out.shape == (2, 640, 640, 3)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    np.testing.assert_allclose(out[:, :80], PAD_VALUE / 255.0, atol=1e-5)  # top pad
+    np.testing.assert_allclose(out[:, -80:], PAD_VALUE / 255.0, atol=1e-5)  # bottom pad
+    # interior matches the source (no resize needed at this geometry)
+    np.testing.assert_allclose(out[:, 80:560], frames / 255.0, atol=1e-5)
+
+
+def test_unletterbox_roundtrip():
+    boxes = jnp.asarray([[100.0, 160.0, 300.0, 400.0]])
+    back = np.asarray(unletterbox_boxes(boxes, 480, 640, 640))
+    np.testing.assert_allclose(back, [[100.0, 80.0, 300.0, 320.0]], atol=1e-5)
+
+
+# ---------- detector ----------
+
+@pytest.fixture(scope="module")
+def tiny_detector():
+    model = PersonDetector(img_size=64, width_mult=0.25, depth_mult=0.34, dtype=jnp.float32)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    return model, variables
+
+
+def test_detector_level_shapes(tiny_detector):
+    model, variables = tiny_detector
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    raw = model.apply(variables, x, train=False)
+    assert raw["p3"].shape == (2, 8, 8, 5)
+    assert raw["p4"].shape == (2, 4, 4, 5)
+    assert raw["p5"].shape == (2, 2, 2, 5)
+
+
+def test_decode_ranges(tiny_detector):
+    model, variables = tiny_detector
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    raw = model.apply(variables, x, train=False)
+    boxes, scores, kpts = decode_predictions(raw, 64)
+    assert boxes.shape == (1, 8 * 8 + 4 * 4 + 2 * 2, 4)
+    assert scores.shape == (1, 84)
+    b, s = np.asarray(boxes), np.asarray(scores)
+    assert np.all(s >= 0) and np.all(s <= 1)
+    assert np.all(b[..., 2] >= b[..., 0]) and np.all(b[..., 3] >= b[..., 1])
+    assert kpts is None
+
+
+def test_detect_fn_runs(tiny_detector):
+    model, variables = tiny_detector
+    detect = make_detect_fn(model, conf_thresh=0.0, max_detections=16)
+    images = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    out_boxes, out_scores, valid = detect(variables, images)
+    assert out_boxes.shape == (2, 16, 4)
+    assert out_scores.shape == (2, 16)
+    assert bool(valid.any())
+
+
+def test_detector_pose_head():
+    model = PersonDetector(img_size=64, width_mult=0.25, depth_mult=0.34,
+                           num_keypoints=17, dtype=jnp.float32)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    detect = make_detect_fn(model, conf_thresh=0.0, max_detections=8)
+    images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    out_boxes, out_scores, valid, kpts = detect(variables, images)
+    assert kpts.shape == (1, 8, 17, 3)
