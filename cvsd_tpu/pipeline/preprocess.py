@@ -1,0 +1,182 @@
+"""UCF-Crime preprocessing pipeline: video -> batched TPU detection -> tracked
+BBox CSV rows in the reference's exact schema.
+
+Capability parity with /root/reference/preprocess.py:5-53 +
+/root/reference/model.py:36-81 (the working Pipeline-A entry point), but
+batched end-to-end:
+
+    reference (per frame):   decode 1 frame -> YOLO.track (host->device->host)
+                             -> BBox -> open CSV, append, close
+    here (per batch):        decode B frames (prefetch thread) -> ONE jitted
+                             letterbox+detect+NMS program -> host IoU/Hungarian
+                             track association -> buffered CSV append
+
+Clip ids keep the reference's counter semantics (1-based over the FULL video
+list including skipped entries, preprocess.py:19-21); frame numbers are the
+1-based post-read CAP_PROP_POS_FRAMES (preprocess.py:41); box coordinates are
+normalized xywh like ultralytics' box.xywhn (model.py:56-67); rows route to
+dataset/ucf-crime_dataset{,-normal}.csv by the 13-category anomaly list.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvsd_tpu.data.bbox_schema import BBox, append_bboxes
+from cvsd_tpu.data.ucf_crime import DEFAULT_CATEGORY_FILTER, read_train_list, route_csv
+from cvsd_tpu.data.video import VideoBatcher
+from cvsd_tpu.models.detector import PersonDetector, build_detector, make_detect_fn
+from cvsd_tpu.ops.letterbox import letterbox_batch, unletterbox_boxes
+from cvsd_tpu.ops.iou import xyxy_to_xywhn
+from cvsd_tpu.track.tracker import IoUTracker
+
+
+class DetectionPipeline:
+    """Detector + fused preprocess/postprocess jitted per source resolution."""
+
+    def __init__(self, config: Dict[str, Any], variables: Optional[Any] = None, seed: int = 0,
+                 use_pallas: Optional[bool] = None):
+        self.config = config
+        d = config.get("detector", {})
+        self.model: PersonDetector = build_detector(config)
+        self.variables = variables if variables is not None else self.model.init_variables(
+            jax.random.PRNGKey(seed)
+        )
+        self.conf = float(d.get("conf_threshold", 0.25))
+        self.iou = float(d.get("iou_threshold", 0.45))
+        self.max_det = int(d.get("max_detections", 128))
+        self.batch_size = int(d.get("batch_size", 32))
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self._full_fns: Dict[Tuple[int, int], Any] = {}
+        self._detect = make_detect_fn(self.model, self.conf, self.iou, self.max_det,
+                                      use_pallas=use_pallas)
+
+    def _full_fn(self, src_h: int, src_w: int):
+        """One jitted program: uint8 frames -> letterbox -> detect -> NMS ->
+        boxes mapped back to source pixels + normalized xywh."""
+        key = (src_h, src_w)
+        if key not in self._full_fns:
+            size = self.model.img_size
+            model = self.model
+            conf, iou, max_det = self.conf, self.iou, self.max_det
+            detect = self._detect
+
+            def full(variables, frames):
+                images = letterbox_batch(frames, size=size, dtype=model.dtype)
+                out = detect(variables, images)
+                boxes_lb, scores, valid = out[0], out[1], out[2]
+                boxes_src = unletterbox_boxes(boxes_lb, src_h, src_w, size)
+                xywhn = xyxy_to_xywhn(boxes_src, float(src_w), float(src_h))
+                res = (boxes_src, xywhn, scores, valid)
+                if len(out) > 3:  # pose head
+                    res = res + (out[3],)
+                return res
+
+            self._full_fns[key] = jax.jit(full)
+        return self._full_fns[key]
+
+    def detect_frames(self, frames: np.ndarray):
+        """(B, H, W, 3) uint8 -> host numpy (boxes_xyxy, xywhn, scores, valid[, kpts])."""
+        B, H, W, _ = frames.shape
+        out = self._full_fn(H, W)(self.variables, jnp.asarray(frames))
+        return tuple(np.asarray(jax.device_get(o)) for o in out)
+
+
+def process_video(
+    pipeline: DetectionPipeline,
+    video_path: str,
+    clip: int,
+    label: str,
+    name: str,
+    csv_path: str,
+    is_anomaly: bool,
+    tracker: Optional[IoUTracker] = None,
+) -> Dict[str, Any]:
+    """One video through decode -> batched detect -> track -> CSV append.
+    Returns {frames, detections, rows, seconds}."""
+    tracker = tracker or IoUTracker()
+    tracker.reset()
+    rows: List[BBox] = []
+    n_frames = 0
+    n_dets = 0
+    t0 = time.perf_counter()
+    batcher = VideoBatcher(video_path, batch_size=pipeline.batch_size)
+    src_w, src_h = batcher.info.width, batcher.info.height
+    for batch in batcher:
+        outs = pipeline.detect_frames(batch.frames)
+        boxes_src, xywhn, scores, valid = outs[:4]
+        for b in range(batch.frames.shape[0]):
+            if not batch.mask[b]:
+                continue
+            n_frames += 1
+            v = valid[b]
+            frame_boxes = boxes_src[b][v]
+            frame_scores = scores[b][v]
+            tracked = tracker.update(frame_boxes, frame_scores)
+            n_dets += len(tracked)
+            frame_no = int(batch.frame_numbers[b])
+            for track_id, box, score in tracked:
+                # normalized xywh on host (box is xyxy in source pixels)
+                cx = (box[0] + box[2]) / 2.0 / src_w
+                cy = (box[1] + box[3]) / 2.0 / src_h
+                w = (box[2] - box[0]) / src_w
+                h = (box[3] - box[1]) / src_h
+                rows.append(
+                    BBox(
+                        clip=clip, name=name, frame=frame_no, person=float(track_id),
+                        left=float(cx), top=float(cy), width=float(w), height=float(h),
+                        is_anomaly=is_anomaly, anomaly=label,
+                    )
+                )
+    if rows:
+        append_bboxes(csv_path, rows)
+    dt = time.perf_counter() - t0
+    return {"frames": n_frames, "detections": n_dets, "rows": len(rows), "seconds": dt,
+            "fps": n_frames / dt if dt > 0 else 0.0}
+
+
+def preprocess_ucf_crime(
+    config: Dict[str, Any],
+    dataset_dir: str,
+    output_dir: Optional[str] = None,
+    category_filter: Sequence[str] = DEFAULT_CATEGORY_FILTER,
+    train_list: str = "Anomaly_Train.txt",
+    limit: Optional[int] = None,
+    variables: Optional[Any] = None,
+    verbose: bool = True,
+) -> Dict[str, Any]:
+    """The full preprocess driver (reference: preprocess.py:5-53)."""
+    output_dir = output_dir or dataset_dir
+    entries = read_train_list(os.path.join(dataset_dir, train_list), category_filter)
+    if limit:
+        entries = entries[:limit]
+    pipeline = DetectionPipeline(config, variables=variables)
+    tracker = IoUTracker()
+    stats: Dict[str, Any] = {"videos": 0, "frames": 0, "rows": 0, "skipped": [], "seconds": 0.0}
+    for entry in entries:
+        video_path = os.path.join(dataset_dir, entry.path)
+        if not os.path.exists(video_path):
+            if verbose:
+                print(f"Failed to load video: {entry.path}")
+            stats["skipped"].append(entry.path)
+            continue
+        csv_path, is_anomaly = route_csv(entry.label, output_dir)
+        if verbose:
+            print(f"Processing video {entry.index}: {entry.path}")
+        r = process_video(pipeline, video_path, entry.index, entry.label, entry.name,
+                          csv_path, is_anomaly, tracker)
+        stats["videos"] += 1
+        stats["frames"] += r["frames"]
+        stats["rows"] += r["rows"]
+        stats["seconds"] += r["seconds"]
+        if verbose:
+            print(f"  {r['frames']} frames, {r['rows']} rows, {r['fps']:.1f} fps")
+    stats["fps"] = stats["frames"] / stats["seconds"] if stats["seconds"] else 0.0
+    return stats
