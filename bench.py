@@ -1,0 +1,96 @@
+"""Benchmark: end-to-end batched person-detection throughput on one chip.
+
+Measures the framework's perf core — the fused letterbox -> CSP detector
+(v5m scale: width 0.75 / depth 0.67, bf16) -> decode -> Pallas NMS program —
+on UCF-Crime-shaped frames (320x240 RGB, the reference dataset's resolution),
+device-resident input, steady state.
+
+Baseline: the reference processes frames strictly one at a time through
+ultralytics YOLOv5m (/root/reference/preprocess.py:37-51, model.py:38); at
+the video's own 30 fps frame rate that loop can at best keep up with
+real-time on typical hardware, so vs_baseline is reported against 30 fps
+(the BASELINE.md north star asks for >=20x that).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_FPS = 30.0  # reference per-frame loop at video frame-rate (see docstring)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from cvsd_tpu.config import get_default_config
+    from cvsd_tpu.pipeline.preprocess import DetectionPipeline
+
+    backend = jax.default_backend()
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    src_h, src_w = 240, 320  # UCF-Crime clip resolution
+
+    cfg = get_default_config()
+    if backend != "tpu":  # keep CPU fallback runs tractable
+        cfg["detector"].update(img_size=128, width_mult=0.25, depth_mult=0.34, dtype="float32")
+        batch = min(batch, 4)
+        iters = min(iters, 3)
+
+    pipeline = DetectionPipeline(cfg, use_pallas=(backend == "tpu"))
+    rng = np.random.default_rng(0)
+    frames = [
+        jnp.asarray(rng.integers(0, 255, (batch, src_h, src_w, 3)).astype(np.uint8))
+        for _ in range(iters)
+    ]
+
+    full = pipeline._full_fn(src_h, src_w)
+    # device-side reduction over ALL outputs; the single final host fetch of the
+    # accumulated scalar forces every chained batch to actually execute
+    # (block_until_ready alone is unreliable through remote-relay backends).
+    reduce_ = jax.jit(lambda outs: sum(jnp.sum(o.astype(jnp.float32)) for o in outs))
+    for f in frames:  # force uploads before timing
+        float(jnp.sum(f.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    float(reduce_(full(pipeline.variables, frames[0])))  # warmup/compile
+    compile_s = time.perf_counter() - t0
+
+    best_dt = float("inf")
+    for _trial in range(3):
+        t0 = time.perf_counter()
+        acc = jnp.float32(0)
+        for f in frames:
+            acc = acc + reduce_(full(pipeline.variables, f))
+        float(acc)  # single final sync
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    fps = batch * iters / best_dt
+    dt = best_dt
+
+    print(json.dumps({
+        "metric": "detect_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec (320x240 -> letterbox 640 -> v5m-scale detect+NMS)",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "details": {
+            "backend": backend,
+            "batch": batch,
+            "iters": iters,
+            "img_size": pipeline.model.img_size,
+            "width_mult": pipeline.model.width_mult,
+            "depth_mult": pipeline.model.depth_mult,
+            "dtype": str(pipeline.model.dtype),
+            "compile_seconds": round(compile_s, 2),
+            "ms_per_batch": round(1000 * dt / iters, 2),
+            "baseline_fps": BASELINE_FPS,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from cvsd_tpu.ops.iou import box_iou_matrix
 
@@ -54,8 +55,11 @@ def nms_jax(
     return _suppress(iou, alive, iou_thresh)
 
 
-def _nms_kernel(boxes_ref, alive_ref, keep_ref, *, iou_thresh: float):
-    """Per-image fused kernel: IoU matrix + suppression loop, all in VMEM."""
+def _nms_kernel(boxes_ref, alive_ref, keep_ref, iou_scratch, alive_scratch, *, iou_thresh: float):
+    """Per-image fused kernel: IoU matrix + suppression loop, all in VMEM.
+    boxes_ref: (1, K, 4); alive_ref/keep_ref: (1, 1, K) (TPU tile alignment).
+    The IoU matrix and alive mask live in VMEM scratch so the suppression
+    loop indexes them with pl.ds (Mosaic has no dynamic_slice on values)."""
     b = boxes_ref[0]  # (K, 4)
     K = b.shape[0]
     x1, y1, x2, y2 = b[:, 0:1], b[:, 1:2], b[:, 2:3], b[:, 3:4]  # (K, 1)
@@ -65,18 +69,23 @@ def _nms_kernel(boxes_ref, alive_ref, keep_ref, *, iou_thresh: float):
     iy = jnp.maximum(jnp.minimum(y2, y2.T) - jnp.maximum(y1, y1.T), 0.0)
     inter = ix * iy
     union = area + area.T - inter
-    iou = inter / jnp.maximum(union, 1e-9)  # (K, K)
+    iou_scratch[:] = inter / jnp.maximum(union, 1e-9)  # (K, K)
+    alive_scratch[:] = alive_ref[0]
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
 
-    def body(i, alive):  # alive: (1, K) float32 in {0,1}
-        row = jax.lax.dynamic_slice_in_dim(iou, i, 1, axis=0)  # (1, K)
-        anchor = jax.lax.dynamic_slice_in_dim(alive, i, 1, axis=1)  # (1, 1)
+    def body(i, _):
+        row = iou_scratch[pl.ds(i, 1), :]  # (1, K) — sublane-dynamic is supported
+        alive = alive_scratch[:]
+        # anchor alive flag via one-hot reduction (lane-dynamic loads are not
+        # supported by Mosaic)
+        anchor = jnp.sum(jnp.where(cols == i, alive, 0.0), axis=1, keepdims=True)  # (1, 1)
         suppress = (row > iou_thresh) & (cols > i) & (anchor > 0.5)
-        return jnp.where(suppress, 0.0, alive)
+        alive_scratch[:] = jnp.where(suppress, 0.0, alive)
+        return 0
 
-    alive = jax.lax.fori_loop(0, K, body, alive_ref[0][None, :])
-    keep_ref[0] = alive[0]
+    jax.lax.fori_loop(0, K, body, 0)
+    keep_ref[0] = alive_scratch[:]
 
 
 def nms_pallas(
@@ -91,17 +100,22 @@ def nms_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kernel = functools.partial(_nms_kernel, iou_thresh=iou_thresh)
-    return pl.pallas_call(
+    keep = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, K, 4), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, K), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, K), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, K), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 1, K), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((K, K), jnp.float32),
+            pltpu.VMEM((1, K), jnp.float32),
+        ],
         interpret=interpret,
-    )(boxes.astype(jnp.float32), alive.astype(jnp.float32))
+    )(boxes.astype(jnp.float32), alive.astype(jnp.float32).reshape(B, 1, K))
+    return keep.reshape(B, K)
 
 
 def batched_nms(
