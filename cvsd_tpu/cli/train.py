@@ -1,0 +1,40 @@
+"""Train the Shopformer (two stages).
+
+Command surface parity with /root/reference/shopformer/train.py (argparse
+flags via --set overrides + --use_synthetic) and
+/root/reference/shopformer_2/train.py (--config YAML, --stage, --checkpoint
+resume).
+
+    python -m cvsd_tpu.cli.train --config configs/paper.yaml
+    python -m cvsd_tpu.cli.train --use_synthetic --set training.stage1_epochs=2
+    python -m cvsd_tpu.cli.train --config c.yaml --stage 2 --checkpoint ckpt/stage1_best.msgpack
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from cvsd_tpu.cli.common import add_config_args, maybe_mesh, resolve_config
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_config_args(p)
+    p.add_argument("--stage", type=int, default=1, choices=(1, 2),
+                   help="start stage (2 auto-loads stage1_best)")
+    p.add_argument("--checkpoint", type=str, default=None, help="resume checkpoint")
+    p.add_argument("--output_dir", type=str, default=None, help="checkpoint dir override")
+    args = p.parse_args(argv)
+
+    cfg = resolve_config(args)
+    if args.output_dir:
+        cfg["experiment"]["checkpoint_dir"] = args.output_dir
+
+    from cvsd_tpu.train.loop import train_from_config
+
+    train_from_config(cfg, mesh_config=maybe_mesh(cfg),
+                      start_stage=args.stage, resume_checkpoint=args.checkpoint)
+
+
+if __name__ == "__main__":
+    main()
