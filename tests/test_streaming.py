@@ -1,0 +1,47 @@
+import numpy as np
+import pytest
+
+from cvsd_tpu.config import get_default_config
+from cvsd_tpu.data.video import write_test_video
+from cvsd_tpu.eval.evaluate import ShopformerScorer
+from cvsd_tpu.models.shopformer import build_shopformer
+from cvsd_tpu.pipeline.streaming import StreamingPipeline
+
+
+@pytest.fixture(scope="module")
+def streaming(tmp_path_factory):
+    import jax
+
+    cfg = get_default_config()
+    cfg["detector"].update(img_size=128, width_mult=0.25, depth_mult=0.34,
+                           batch_size=8, conf_threshold=0.0, max_detections=4,
+                           dtype="float32", pose_head=True)
+    cfg["model"]["hidden_channels"] = 8
+    cfg["data"]["stride"] = 6
+    model = build_shopformer(cfg)
+    scorer = ShopformerScorer(model, model.init_variables(jax.random.PRNGKey(0)), cfg)
+    pipe = StreamingPipeline(cfg, scorer)
+    video = write_test_video(str(tmp_path_factory.mktemp("sv") / "v.mp4"),
+                             num_frames=30, width=320, height=240)
+    return pipe, video
+
+
+def test_stream_video_emits_events(streaming):
+    pipe, video = streaming
+    events = list(pipe.stream_video(video))
+    assert events, "expected at least one scored window"
+    ev = events[0]
+    assert ev.video == "v.mp4"
+    assert len(ev.frames) == pipe.seq_len
+    assert ev.frame_end == ev.frames[-1]
+    assert np.isfinite(ev.score) and ev.score >= 0
+    assert ev.timestamp_ms >= 0
+
+
+def test_stream_videos_stats(streaming):
+    pipe, video = streaming
+    out = pipe.stream_videos([video, video])
+    assert out["videos"] == 2
+    assert out["frames"] == 60
+    assert out["fps"] > 0 and out["videos_per_hour"] > 0
+    assert len(out["events"]) >= 2
