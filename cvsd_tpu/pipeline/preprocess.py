@@ -89,6 +89,25 @@ class DetectionPipeline:
         return tuple(np.asarray(jax.device_get(o)) for o in out)
 
 
+def _write_rows(csv_path: str, rows: List[BBox], clip: int, name: str,
+                is_anomaly: bool, label: str) -> None:
+    """Emit one video's rows: native buffered writer when built, Python csv
+    fallback otherwise (byte-identical output either way)."""
+    try:
+        from cvsd_tpu import native
+
+        if native.available():
+            frames = np.asarray([r.frame for r in rows], np.int32)
+            persons = np.asarray([r.person for r in rows], np.float64)
+            ltwh = np.asarray([[r.left, r.top, r.width, r.height] for r in rows], np.float64)
+            with native.NativeCsvWriter(csv_path) as w:
+                w.write_video_rows(clip, name, frames, persons, ltwh, is_anomaly, label)
+            return
+    except Exception:
+        pass
+    append_bboxes(csv_path, rows)
+
+
 def process_video(
     pipeline: DetectionPipeline,
     video_path: str,
@@ -136,7 +155,7 @@ def process_video(
                     )
                 )
     if rows:
-        append_bboxes(csv_path, rows)
+        _write_rows(csv_path, rows, clip, name, is_anomaly, label)
     dt = time.perf_counter() - t0
     return {"frames": n_frames, "detections": n_dets, "rows": len(rows), "seconds": dt,
             "fps": n_frames / dt if dt > 0 else 0.0}
