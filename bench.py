@@ -33,7 +33,7 @@ def main() -> None:
     from cvsd_tpu.pipeline.preprocess import DetectionPipeline
 
     backend = jax.default_backend()
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     src_h, src_w = 240, 320  # UCF-Crime clip resolution
 
@@ -45,17 +45,20 @@ def main() -> None:
 
     pipeline = DetectionPipeline(cfg, use_pallas=(backend == "tpu"))
     rng = np.random.default_rng(0)
-    frames = [
+    # a few distinct buffers cycled across iters: defeats any result caching
+    # while keeping host->device upload volume bounded
+    buffers = [
         jnp.asarray(rng.integers(0, 255, (batch, src_h, src_w, 3)).astype(np.uint8))
-        for _ in range(iters)
+        for _ in range(min(4, iters))
     ]
+    frames = [buffers[i % len(buffers)] for i in range(iters)]
 
     full = pipeline._full_fn(src_h, src_w)
     # device-side reduction over ALL outputs; the single final host fetch of the
     # accumulated scalar forces every chained batch to actually execute
     # (block_until_ready alone is unreliable through remote-relay backends).
     reduce_ = jax.jit(lambda outs: sum(jnp.sum(o.astype(jnp.float32)) for o in outs))
-    for f in frames:  # force uploads before timing
+    for f in buffers:  # force uploads before timing
         float(jnp.sum(f.astype(jnp.float32)))
     t0 = time.perf_counter()
     float(reduce_(full(pipeline.variables, frames[0])))  # warmup/compile

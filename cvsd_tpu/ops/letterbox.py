@@ -39,6 +39,8 @@ def letterbox_batch(
     """(B, H, W, 3) uint8 -> (B, size, size, 3) dtype in [0, 1], letterboxed."""
     B, H, W, C = frames.shape
     scale, pad_x, pad_y, new_w, new_h = letterbox_params(H, W, size)
+    # resize in f32 (bf16 resize hits a pathological lowering on current
+    # XLA:TPU — compiles for minutes); cast to the compute dtype after
     x = frames.astype(jnp.float32)
     x = jax.image.resize(x, (B, new_h, new_w, C), method="linear")
     x = jnp.pad(
