@@ -1,0 +1,159 @@
+"""Person-detector training: anchor-free target assignment, losses, train step.
+
+The reference cannot train its detector at all — it loads pretrained
+ultralytics weights (/root/reference/model.py:18) and ships no training code.
+This module completes the capability: a jittable FCOS/YOLOv8-style training
+path so the TPU detector can be fitted to person data (or the synthetic
+rectangle fixture used in tests).
+
+Assignment (static shapes, fully vectorized):
+- anchors = all head cells across strides 8/16/32, centers in letterbox px
+- positive where the anchor center lies inside a GT box AND within
+  `center_radius * stride` of the GT center (center sampling)
+- ties resolve to the smallest-area GT
+
+Losses: BCE-with-logits objectness over all anchors (positives = 1),
+(1 - IoU) box loss over positives. Everything is pad-and-mask: GT arrives as
+(B, max_gt, 4) + validity mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cvsd_tpu.models.detector import STRIDES, PersonDetector, decode_predictions
+from cvsd_tpu.ops.iou import box_iou_matrix
+
+
+def anchor_centers(img_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """((A, 2) anchor centers in pixels, (A,) strides) across all levels."""
+    centers, strides = [], []
+    for s in STRIDES:
+        n = img_size // s
+        gy, gx = np.mgrid[0:n, 0:n]
+        cx = (gx.reshape(-1) + 0.5) * s
+        cy = (gy.reshape(-1) + 0.5) * s
+        centers.append(np.stack([cx, cy], -1))
+        strides.append(np.full(n * n, s))
+    return np.concatenate(centers).astype(np.float32), np.concatenate(strides).astype(np.float32)
+
+
+def assign_targets(
+    gt_boxes: jnp.ndarray,   # (B, G, 4) xyxy letterbox px
+    gt_valid: jnp.ndarray,   # (B, G) bool
+    centers: jnp.ndarray,    # (A, 2)
+    strides: jnp.ndarray,    # (A,)
+    center_radius: float = 2.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (pos (B, A) bool, target_boxes (B, A, 4))."""
+    cx = centers[None, :, None, 0]  # (1, A, 1)
+    cy = centers[None, :, None, 1]
+    x1, y1, x2, y2 = (gt_boxes[:, None, :, i] for i in range(4))  # (B, 1, G)
+    inside = (cx >= x1) & (cx <= x2) & (cy >= y1) & (cy <= y2)
+    gcx, gcy = (x1 + x2) / 2, (y1 + y2) / 2
+    r = center_radius * strides[None, :, None]
+    centered = (jnp.abs(cx - gcx) <= r) & (jnp.abs(cy - gcy) <= r)
+    match = inside & centered & gt_valid[:, None, :]  # (B, A, G)
+
+    area = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)  # (B, 1, G)
+    cost = jnp.where(match, area, jnp.inf)
+    gt_idx = jnp.argmin(cost, axis=-1)  # (B, A)
+    pos = jnp.any(match, axis=-1)
+    target = jnp.take_along_axis(gt_boxes, gt_idx[..., None], axis=1)
+    return pos, target
+
+
+def detection_loss(
+    raw: Dict[str, jnp.ndarray],
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    img_size: int,
+    centers: jnp.ndarray,
+    strides: jnp.ndarray,
+    box_weight: float = 5.0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total loss + components from raw head maps."""
+    pred_boxes, _scores, _ = decode_predictions(raw, img_size)  # (B, A, 4), differentiable
+    obj_logits = jnp.concatenate(
+        [raw[k].astype(jnp.float32)[..., 4].reshape(raw[k].shape[0], -1) for k in ("p3", "p4", "p5")],
+        axis=1,
+    )  # (B, A)
+    pos, target = assign_targets(gt_boxes, gt_valid, centers, strides)
+
+    obj_loss = optax.sigmoid_binary_cross_entropy(obj_logits, pos.astype(jnp.float32)).mean()
+
+    # IoU loss on positives (diagonal of pairwise per-anchor)
+    iou = jax.vmap(jax.vmap(lambda a, b: box_iou_matrix(a[None], b[None])[0, 0]))(pred_boxes, target)
+    n_pos = jnp.maximum(pos.sum(), 1.0)
+    box_loss = jnp.sum(jnp.where(pos, 1.0 - iou, 0.0)) / n_pos
+
+    total = obj_loss + box_weight * box_loss
+    return total, {"obj_loss": obj_loss, "box_loss": box_loss, "n_pos": n_pos}
+
+
+class DetectorTrainer:
+    """Minimal jitted training driver for the person detector."""
+
+    def __init__(self, model: PersonDetector, lr: float = 1e-3, seed: int = 0):
+        self.model = model
+        self.variables = model.init_variables(jax.random.PRNGKey(seed))
+        centers, strides = anchor_centers(model.img_size)
+        self._centers = jnp.asarray(centers)
+        self._strides = jnp.asarray(strides)
+        self.opt = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(lr))
+        self.opt_state = self.opt.init(self.variables["params"])
+        self._step = jax.jit(self._make_step())
+
+    def _make_step(self):
+        model, opt = self.model, self.opt
+        centers, strides = self._centers, self._strides
+        size = model.img_size
+
+        def step(params, batch_stats, opt_state, images, gt_boxes, gt_valid):
+            def loss_fn(p, bs):
+                raw, updates = model.apply({"params": p, "batch_stats": bs}, images,
+                                           train=True, mutable=["batch_stats"])
+                loss, aux = detection_loss(raw, gt_boxes, gt_valid, size, centers, strides)
+                return loss, (updates["batch_stats"], aux)
+
+            (loss, (new_bs, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_stats
+            )
+            updates, new_opt = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_bs, new_opt, loss, aux
+
+        return step
+
+    def train_step(self, images: np.ndarray, gt_boxes: np.ndarray, gt_valid: np.ndarray) -> Dict[str, float]:
+        p, bs = self.variables["params"], self.variables["batch_stats"]
+        p, bs, self.opt_state, loss, aux = self._step(
+            p, bs, self.opt_state, jnp.asarray(images), jnp.asarray(gt_boxes), jnp.asarray(gt_valid)
+        )
+        self.variables = {"params": p, "batch_stats": bs}
+        return {"loss": float(loss), **{k: float(v) for k, v in aux.items()}}
+
+
+def synthetic_detection_batch(
+    rng: np.random.Generator, batch: int, img_size: int, max_gt: int = 4
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bright rectangles on dark noise + their boxes — the detector-training
+    fixture (companion of data/video.py's write_test_video)."""
+    images = rng.uniform(0, 0.25, (batch, img_size, img_size, 3)).astype(np.float32)
+    boxes = np.zeros((batch, max_gt, 4), np.float32)
+    valid = np.zeros((batch, max_gt), bool)
+    for b in range(batch):
+        for g in range(rng.integers(1, max_gt + 1)):
+            w = rng.integers(img_size // 8, img_size // 3)
+            h = rng.integers(img_size // 8, img_size // 3)
+            x1 = rng.integers(0, img_size - w)
+            y1 = rng.integers(0, img_size - h)
+            images[b, y1 : y1 + h, x1 : x1 + w] = rng.uniform(0.7, 1.0, 3)
+            boxes[b, g] = (x1, y1, x1 + w, y1 + h)
+            valid[b, g] = True
+    return images, boxes, valid

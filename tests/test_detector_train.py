@@ -1,0 +1,75 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvsd_tpu.models.detector import PersonDetector, make_detect_fn
+from cvsd_tpu.ops.iou import box_iou_matrix
+from cvsd_tpu.train.detector_train import (
+    DetectorTrainer,
+    anchor_centers,
+    assign_targets,
+    synthetic_detection_batch,
+)
+
+
+def test_anchor_centers():
+    centers, strides = anchor_centers(64)
+    assert centers.shape == (8 * 8 + 4 * 4 + 2 * 2, 2)
+    assert strides.min() == 8 and strides.max() == 32
+    np.testing.assert_allclose(centers[0], [4.0, 4.0])  # first stride-8 cell
+
+
+def test_assign_targets_center_sampling():
+    centers, strides = anchor_centers(64)
+    gt = jnp.asarray([[[8.0, 8.0, 40.0, 40.0], [0, 0, 0, 0]]])
+    valid = jnp.asarray([[True, False]])
+    pos, target = assign_targets(jnp.asarray(gt), valid, jnp.asarray(centers), jnp.asarray(strides))
+    pos = np.asarray(pos[0])
+    assert pos.any()
+    # every positive anchor center is inside the GT box
+    c = centers[pos]
+    assert np.all((c[:, 0] >= 8) & (c[:, 0] <= 40) & (c[:, 1] >= 8) & (c[:, 1] <= 40))
+    # and its target is the GT box
+    np.testing.assert_allclose(np.asarray(target[0])[pos], [[8, 8, 40, 40]] * pos.sum())
+
+
+def test_assign_prefers_smaller_gt():
+    centers, strides = anchor_centers(64)
+    big = [0.0, 0.0, 64.0, 64.0]
+    small = [24.0, 24.0, 40.0, 40.0]
+    gt = jnp.asarray([[big, small]])
+    valid = jnp.asarray([[True, True]])
+    pos, target = assign_targets(gt, valid, jnp.asarray(centers), jnp.asarray(strides))
+    # the anchor at the dead center (32, 32) must target the small box
+    idx = int(np.argmin(np.abs(centers - 32).sum(1)))
+    assert bool(np.asarray(pos[0])[idx])
+    np.testing.assert_allclose(np.asarray(target[0])[idx], small)
+
+
+def test_detector_training_learns_rectangles():
+    rng = np.random.default_rng(0)
+    model = PersonDetector(img_size=64, width_mult=0.25, depth_mult=0.34, dtype=jnp.float32)
+    trainer = DetectorTrainer(model, lr=3e-3)
+    first_loss, last = None, None
+    for i in range(60):
+        images, boxes, valid = synthetic_detection_batch(rng, 8, 64)
+        out = trainer.train_step(images, boxes, valid)
+        if first_loss is None:
+            first_loss = out["loss"]
+        last = out
+    assert np.isfinite(last["loss"])
+    assert last["loss"] < first_loss * 0.7, (first_loss, last)
+
+    # the trained detector should now localize a rectangle
+    detect = make_detect_fn(model, conf_thresh=0.3, max_detections=8, use_pallas=False)
+    images, boxes, valid = synthetic_detection_batch(np.random.default_rng(1), 4, 64, max_gt=1)
+    ob, os_, ov = detect(trainer.variables, jnp.asarray(images))
+    hits = 0
+    for b in range(4):
+        det = np.asarray(ob[b][np.asarray(ov[b])])
+        if len(det) == 0:
+            continue
+        iou = np.asarray(box_iou_matrix(jnp.asarray(det), jnp.asarray(boxes[b][:1])))
+        if iou.max() > 0.5:
+            hits += 1
+    assert hits >= 2, f"only {hits}/4 rectangles localized"
