@@ -24,6 +24,8 @@ def main(argv=None) -> None:
                    help="start stage (2 auto-loads stage1_best)")
     p.add_argument("--checkpoint", type=str, default=None, help="resume checkpoint")
     p.add_argument("--output_dir", type=str, default=None, help="checkpoint dir override")
+    p.add_argument("--profile", type=str, default=None,
+                   help="directory for a jax.profiler device trace of the run")
     args = p.parse_args(argv)
 
     cfg = resolve_config(args)
@@ -31,9 +33,11 @@ def main(argv=None) -> None:
         cfg["experiment"]["checkpoint_dir"] = args.output_dir
 
     from cvsd_tpu.train.loop import train_from_config
+    from cvsd_tpu.utils.logging import device_trace
 
-    train_from_config(cfg, mesh_config=maybe_mesh(cfg),
-                      start_stage=args.stage, resume_checkpoint=args.checkpoint)
+    with device_trace(args.profile):
+        train_from_config(cfg, mesh_config=maybe_mesh(cfg),
+                          start_stage=args.stage, resume_checkpoint=args.checkpoint)
 
 
 if __name__ == "__main__":

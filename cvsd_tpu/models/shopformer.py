@@ -141,6 +141,17 @@ class Shopformer(nn.Module):
             out["gcae_reconstructed"] = self.decode_tokens(tokens, train)
         return out
 
+    def predict(self, poses: jax.Array, threshold: float = 0.5) -> Dict[str, jax.Array]:
+        """Binary anomaly predictions at a threshold
+        (reference: shopformer/models/shopformer.py:222-237)."""
+        scores = self.compute_anomaly_score(poses)
+        return {"scores": scores, "predictions": (scores >= threshold).astype(jnp.int32)}
+
+    def get_anomaly_scores(self, poses: jax.Array) -> jax.Array:
+        """Alias for compute_anomaly_score
+        (reference: shopformer/models/shopformer.py:239-251)."""
+        return self.compute_anomaly_score(poses)
+
     # -- losses (stage wrappers' semantics, v1 :281-389 / v2 :190-224) -------------
 
     def compute_gcae_loss(

@@ -220,6 +220,14 @@ class Trainer:
                 state, loss = step_fn(state, b["poses"], b["mask"], key)
                 losses.append(loss)
             epoch_loss = float(np.mean([jax.device_get(l) for l in losses])) if losses else float("nan")
+            if losses and not np.isfinite(epoch_loss) and t.get("abort_on_nan", True):
+                # failure detection: a NaN/inf loss means diverged training —
+                # stop the stage instead of burning the remaining epochs
+                # (SURVEY.md §5.3: the reference has no such guard)
+                self.history[f"stage{stage}"].append({"epoch": epoch, "loss": epoch_loss, "aborted": "non-finite loss"})
+                if self.verbose:
+                    print(f"[stage{stage}] ABORT at epoch {epoch}: non-finite loss {epoch_loss}")
+                break
             lr = current_learning_rate(state.opt_state)
             dt = time.perf_counter() - t0
 

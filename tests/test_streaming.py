@@ -45,3 +45,21 @@ def test_stream_videos_stats(streaming):
     assert out["frames"] == 60
     assert out["fps"] > 0 and out["videos_per_hour"] > 0
     assert len(out["events"]) >= 2
+
+
+def test_stream_videos_concurrent_matches_sequential(streaming, tmp_path_factory):
+    from cvsd_tpu.data.video import write_test_video
+
+    pipe, video = streaming
+    v2 = write_test_video(str(tmp_path_factory.mktemp("sv2") / "w.mp4"),
+                          num_frames=25, width=320, height=240, seed=9)
+    seq_events = list(pipe.stream_video(video)) + list(pipe.stream_video(v2))
+    out = pipe.stream_videos_concurrent([video, v2], max_streams=2)
+    assert out["frames"] == 55
+    # same set of (video, track, frame_end) windows regardless of scheduling
+    key = lambda e: (e.video, e.track_id, e.frame_end)  # noqa: E731
+    assert sorted(map(key, out["events"])) == sorted(map(key, seq_events))
+    # identical scores for identical windows
+    seq_scores = {key(e): e.score for e in seq_events}
+    for e in out["events"]:
+        assert abs(seq_scores[key(e)] - e.score) < 1e-4
