@@ -77,9 +77,13 @@ def detection_loss(
     centers: jnp.ndarray,
     strides: jnp.ndarray,
     box_weight: float = 5.0,
+    gt_kpts: Optional[jnp.ndarray] = None,  # (B, G, K, 2) px, optional pose head
+    num_keypoints: int = 0,
+    kpt_weight: float = 0.05,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Total loss + components from raw head maps."""
-    pred_boxes, _scores, _ = decode_predictions(raw, img_size)  # (B, A, 4), differentiable
+    """Total loss + components from raw head maps (objectness BCE + IoU box
+    loss + optional keypoint regression for the pose head)."""
+    pred_boxes, _scores, pred_kpts = decode_predictions(raw, img_size, num_keypoints)
     obj_logits = jnp.concatenate(
         [raw[k].astype(jnp.float32)[..., 4].reshape(raw[k].shape[0], -1) for k in ("p3", "p4", "p5")],
         axis=1,
@@ -94,7 +98,30 @@ def detection_loss(
     box_loss = jnp.sum(jnp.where(pos, 1.0 - iou, 0.0)) / n_pos
 
     total = obj_loss + box_weight * box_loss
-    return total, {"obj_loss": obj_loss, "box_loss": box_loss, "n_pos": n_pos}
+    aux = {"obj_loss": obj_loss, "box_loss": box_loss, "n_pos": n_pos}
+
+    if gt_kpts is not None and pred_kpts is not None:
+        # gather each positive anchor's assigned GT keypoints (reuse the
+        # same min-area assignment as the boxes)
+        cost = jnp.where(
+            (centers[None, :, None, 0] >= gt_boxes[:, None, :, 0])
+            & (centers[None, :, None, 0] <= gt_boxes[:, None, :, 2])
+            & (centers[None, :, None, 1] >= gt_boxes[:, None, :, 1])
+            & (centers[None, :, None, 1] <= gt_boxes[:, None, :, 3])
+            & gt_valid[:, None, :],
+            (gt_boxes[:, None, :, 2] - gt_boxes[:, None, :, 0])
+            * (gt_boxes[:, None, :, 3] - gt_boxes[:, None, :, 1]),
+            jnp.inf,
+        )
+        gt_idx = jnp.argmin(cost, axis=-1)  # (B, A)
+        tk = jnp.take_along_axis(gt_kpts, gt_idx[:, :, None, None], axis=1)  # (B, A, K, 2)
+        # scale-normalized L2 on positives
+        scale = jnp.maximum(target[..., 2] - target[..., 0], 1.0)[..., None, None]
+        err = jnp.sum(((pred_kpts[..., :2] - tk) / scale) ** 2, axis=(-1, -2))
+        kpt_loss = jnp.sum(jnp.where(pos, err, 0.0)) / n_pos
+        total = total + kpt_weight * kpt_loss
+        aux["kpt_loss"] = kpt_loss
+    return total, aux
 
 
 class DetectorTrainer:
@@ -115,11 +142,14 @@ class DetectorTrainer:
         centers, strides = self._centers, self._strides
         size = model.img_size
 
-        def step(params, batch_stats, opt_state, images, gt_boxes, gt_valid):
+        def step(params, batch_stats, opt_state, images, gt_boxes, gt_valid, gt_kpts):
             def loss_fn(p, bs):
                 raw, updates = model.apply({"params": p, "batch_stats": bs}, images,
                                            train=True, mutable=["batch_stats"])
-                loss, aux = detection_loss(raw, gt_boxes, gt_valid, size, centers, strides)
+                loss, aux = detection_loss(
+                    raw, gt_boxes, gt_valid, size, centers, strides,
+                    gt_kpts=gt_kpts, num_keypoints=model.num_keypoints,
+                )
                 return loss, (updates["batch_stats"], aux)
 
             (loss, (new_bs, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -130,23 +160,33 @@ class DetectorTrainer:
 
         return step
 
-    def train_step(self, images: np.ndarray, gt_boxes: np.ndarray, gt_valid: np.ndarray) -> Dict[str, float]:
+    def train_step(self, images: np.ndarray, gt_boxes: np.ndarray, gt_valid: np.ndarray,
+                   gt_kpts: Optional[np.ndarray] = None) -> Dict[str, float]:
         p, bs = self.variables["params"], self.variables["batch_stats"]
+        if self.model.num_keypoints and gt_kpts is None:
+            gt_kpts = np.zeros((*gt_boxes.shape[:2], self.model.num_keypoints, 2), np.float32)
         p, bs, self.opt_state, loss, aux = self._step(
-            p, bs, self.opt_state, jnp.asarray(images), jnp.asarray(gt_boxes), jnp.asarray(gt_valid)
+            p, bs, self.opt_state, jnp.asarray(images), jnp.asarray(gt_boxes),
+            jnp.asarray(gt_valid),
+            jnp.asarray(gt_kpts) if self.model.num_keypoints else None,
         )
         self.variables = {"params": p, "batch_stats": bs}
         return {"loss": float(loss), **{k: float(v) for k, v in aux.items()}}
 
 
 def synthetic_detection_batch(
-    rng: np.random.Generator, batch: int, img_size: int, max_gt: int = 4
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    rng: np.random.Generator, batch: int, img_size: int, max_gt: int = 4,
+    num_keypoints: int = 0,
+) -> Tuple[np.ndarray, ...]:
     """Bright rectangles on dark noise + their boxes — the detector-training
-    fixture (companion of data/video.py's write_test_video)."""
+    fixture (companion of data/video.py's write_test_video). With
+    num_keypoints > 0 also returns (B, max_gt, K, 2) keypoints laid out on a
+    fixed grid inside each box (pose-head fixture)."""
     images = rng.uniform(0, 0.25, (batch, img_size, img_size, 3)).astype(np.float32)
     boxes = np.zeros((batch, max_gt, 4), np.float32)
     valid = np.zeros((batch, max_gt), bool)
+    kpts = np.zeros((batch, max_gt, num_keypoints, 2), np.float32) if num_keypoints else None
+    fracs = np.linspace(0.15, 0.85, max(num_keypoints, 1))
     for b in range(batch):
         for g in range(rng.integers(1, max_gt + 1)):
             w = rng.integers(img_size // 8, img_size // 3)
@@ -156,4 +196,9 @@ def synthetic_detection_batch(
             images[b, y1 : y1 + h, x1 : x1 + w] = rng.uniform(0.7, 1.0, 3)
             boxes[b, g] = (x1, y1, x1 + w, y1 + h)
             valid[b, g] = True
+            if num_keypoints:
+                kpts[b, g, :, 0] = x1 + fracs * w
+                kpts[b, g, :, 1] = y1 + fracs[::-1] * h
+    if num_keypoints:
+        return images, boxes, valid, kpts
     return images, boxes, valid

@@ -46,6 +46,21 @@ def test_assign_prefers_smaller_gt():
     np.testing.assert_allclose(np.asarray(target[0])[idx], small)
 
 
+def test_pose_head_training_step():
+    rng = np.random.default_rng(0)
+    model = PersonDetector(img_size=64, width_mult=0.25, depth_mult=0.34,
+                           num_keypoints=5, dtype=jnp.float32)
+    trainer = DetectorTrainer(model, lr=3e-3)
+    first = None
+    for _ in range(12):
+        images, boxes, valid, kpts = synthetic_detection_batch(rng, 8, 64, num_keypoints=5)
+        out = trainer.train_step(images, boxes, valid, kpts)
+        if first is None:
+            first = out
+    assert "kpt_loss" in out and np.isfinite(out["kpt_loss"])
+    assert out["loss"] < first["loss"]
+
+
 def test_detector_training_learns_rectangles():
     rng = np.random.default_rng(0)
     model = PersonDetector(img_size=64, width_mult=0.25, depth_mult=0.34, dtype=jnp.float32)
