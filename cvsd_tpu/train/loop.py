@@ -270,7 +270,7 @@ class Trainer:
 
             self.history[f"stage{stage}"].append(record)
             if ckpt_every and epoch % ckpt_every == 0:
-                self.ckpt.save_epoch(stage, epoch, self._ckpt_state(state), epoch=epoch)
+                self.ckpt.save_epoch(stage, epoch, self._ckpt_state(state))
             if self.verbose:
                 msg = f"[stage{stage}] epoch {epoch}/{epochs} loss={epoch_loss:.6f}"
                 if "auc_roc" in record:

@@ -164,6 +164,23 @@ def test_grad_accum_and_schedulers(tmp_path):
         assert np.isfinite(artifact["history"]["stage1"][0]["loss"]), sched
 
 
+def test_pipeline_learns_synthetic_anomalies(tmp_path):
+    """Learning regression: the two-stage pipeline must clearly separate the
+    synthetic anomalies (reference smoke path analog). See RESULTS.md."""
+    cfg = tiny_config(
+        tmp_path,
+        **{"data.synthetic.num_train": 256, "data.synthetic.num_test": 128,
+           "data.batch_size": 64, "model.hidden_channels": 16,
+           "training.stage1_epochs": 8, "training.stage2_epochs": 8,
+           "training.lr": 1e-3,
+           "training.checkpoint_every_n_epochs": 5},  # exercises save_epoch
+    )
+    artifact = Trainer(cfg, verbose=False).setup().fit()
+    assert artifact["best_auc"] > 0.8, artifact["best_auc"]
+    assert os.path.exists(os.path.join(cfg["experiment"]["checkpoint_dir"],
+                                       "stage1_epoch5.msgpack"))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from cvsd_tpu.utils.checkpoint import checkpoint_config, load_checkpoint, save_checkpoint
 
