@@ -64,16 +64,29 @@ def main() -> None:
     float(reduce_(full(pipeline.variables, frames[0])))  # warmup/compile
     compile_s = time.perf_counter() - t0
 
-    best_dt = float("inf")
-    for _trial in range(3):
-        t0 = time.perf_counter()
-        acc = jnp.float32(0)
-        for f in frames:
-            acc = acc + reduce_(full(pipeline.variables, f))
-        float(acc)  # single final sync
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    fps = batch * iters / best_dt
-    dt = best_dt
+    def timed(fn):
+        best = float("inf")
+        for _trial in range(3):
+            t0 = time.perf_counter()
+            acc = jnp.float32(0)
+            for f in frames:
+                acc = acc + reduce_(fn(pipeline.variables, f))
+            float(acc)  # single final sync
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = timed(full)
+    fps = batch * iters / dt
+
+    # secondary: auto canvas (detect 240p at 320 instead of padding to 640 —
+    # fully-convolutional net, same weights; the framework's native mode)
+    auto_fps = None
+    if backend == "tpu":
+        cfg["detector"]["auto_size"] = True
+        auto_pipe = DetectionPipeline(cfg, variables=pipeline.variables, use_pallas=True)
+        auto_full = auto_pipe._full_fn(src_h, src_w)
+        float(reduce_(auto_full(auto_pipe.variables, frames[0])))
+        auto_fps = batch * iters / timed(auto_full)
 
     print(json.dumps({
         "metric": "detect_fps_per_chip",
@@ -91,6 +104,7 @@ def main() -> None:
             "compile_seconds": round(compile_s, 2),
             "ms_per_batch": round(1000 * dt / iters, 2),
             "baseline_fps": BASELINE_FPS,
+            "auto_canvas_fps": round(auto_fps, 2) if auto_fps else None,
         },
     }))
 

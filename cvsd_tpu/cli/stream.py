@@ -1,0 +1,64 @@
+"""Streaming end-to-end inference over videos: decode -> detect(+pose) ->
+track -> Shopformer anomaly scores.
+
+The working replacement for the reference's broken real-time driver
+(/root/reference/main.py).
+
+    python -m cvsd_tpu.cli.stream --checkpoint ckpt/stage2_best.msgpack \
+        --videos a.mp4 b.mp4 --concurrent --output events.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+from cvsd_tpu.cli.common import add_config_args
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_config_args(p)
+    p.add_argument("--checkpoint", type=str, required=True, help="Shopformer checkpoint")
+    p.add_argument("--detector_checkpoint", type=str, default=None)
+    p.add_argument("--videos", nargs="+", required=True)
+    p.add_argument("--concurrent", action="store_true",
+                   help="multiplex videos into shared detector batches")
+    p.add_argument("--max_streams", type=int, default=8)
+    p.add_argument("--threshold", type=float, default=None, help="flag events >= threshold")
+    p.add_argument("--output", type=str, default=None)
+    args = p.parse_args(argv)
+
+    from cvsd_tpu.eval.evaluate import load_model
+    from cvsd_tpu.pipeline.streaming import StreamingPipeline
+
+    scorer = load_model(args.checkpoint)
+    detector_variables = None
+    if args.detector_checkpoint:
+        from cvsd_tpu.utils.checkpoint import load_checkpoint
+
+        detector_variables, _ = load_checkpoint(args.detector_checkpoint)
+
+    pipe = StreamingPipeline(scorer.config, scorer, detector_variables=detector_variables)
+    if args.concurrent:
+        out = pipe.stream_videos_concurrent(args.videos, max_streams=args.max_streams)
+    else:
+        out = pipe.stream_videos(args.videos)
+
+    events = [dataclasses.asdict(e) for e in out["events"]]
+    if args.threshold is not None:
+        for e in events:
+            e["anomalous"] = e["score"] >= args.threshold
+    result = {k: v for k, v in out.items() if k != "events"}
+    result["events"] = events
+    print(f"{out['videos']} videos, {out['frames']} frames, "
+          f"{out['fps']:.1f} fps, {out['videos_per_hour']:.1f} videos/hour, "
+          f"{len(events)} scored windows")
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(result, f, indent=2, default=float)
+
+
+if __name__ == "__main__":
+    main()

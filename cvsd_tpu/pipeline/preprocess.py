@@ -52,18 +52,29 @@ class DetectionPipeline:
         self.iou = float(d.get("iou_threshold", 0.45))
         self.max_det = int(d.get("max_detections", 128))
         self.batch_size = int(d.get("batch_size", 32))
+        # auto_size: detect at the source's native scale instead of padding a
+        # 240p frame onto a 640 canvas — the net is fully convolutional, so
+        # the same weights run at any stride-64 multiple; 4x less compute on
+        # UCF-Crime-sized video.
+        self.auto_size = bool(d.get("auto_size", False))
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self._full_fns: Dict[Tuple[int, int], Any] = {}
         self._detect = make_detect_fn(self.model, self.conf, self.iou, self.max_det,
                                       use_pallas=use_pallas)
 
+    def _canvas_size(self, src_h: int, src_w: int) -> int:
+        if not self.auto_size:
+            return self.model.img_size
+        s = max(src_h, src_w)
+        return int(min(max(-(-s // 64) * 64, 256), self.model.img_size))
+
     def _full_fn(self, src_h: int, src_w: int):
         """One jitted program: uint8 frames -> letterbox -> detect -> NMS ->
         boxes mapped back to source pixels + normalized xywh."""
         key = (src_h, src_w)
         if key not in self._full_fns:
-            size = self.model.img_size
+            size = self._canvas_size(src_h, src_w)
             model = self.model
             conf, iou, max_det = self.conf, self.iou, self.max_det
             detect = self._detect

@@ -107,7 +107,7 @@ class StreamingPipeline:
 
         batcher = VideoBatcher(video_path, batch_size=self.detection.batch_size)
         src_h, src_w = batcher.info.height, batcher.info.width
-        size = self.detection.model.img_size
+        size = self.detection._canvas_size(src_h, src_w)
         scale, pad_x, pad_y, _, _ = letterbox_params(src_h, src_w, size)
 
         for batch in batcher:
@@ -197,7 +197,7 @@ class StreamingPipeline:
         events: List[ScoreEvent] = []
         queue = list(paths)
         B = self.detection.batch_size
-        size = self.detection.model.img_size
+        size = self.detection._canvas_size(*resolution)
         active: Dict[str, Dict[str, Any]] = {}
         n_frames = 0
 
