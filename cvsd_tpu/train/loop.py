@@ -73,6 +73,7 @@ class Trainer:
         self.history: Dict[str, Any] = {"stage1": [], "stage2": []}
         self.best_auc = -1.0
         self.best_epoch = -1
+        self._opts: Dict[int, Any] = {}
 
     # -- setup ----------------------------------------------------------------
 
@@ -117,8 +118,8 @@ class Trainer:
         epochs = int(cfg["training"][f"stage{stage}_epochs"])
         steps = max(self.datamodule.steps_per_epoch() // int(cfg["training"].get("grad_accum_steps", 1)), 1)
         labels = stage_param_labels(self._params, stage)
-        self._opt = build_optimizer(cfg, steps, epochs, param_labels=labels)
-        opt_state = self._opt.init(self._params)
+        self._opts[stage] = build_optimizer(cfg, steps, epochs, param_labels=labels)
+        opt_state = self._opts[stage].init(self._params)
         state = TrainState(
             params=self._params, batch_stats=self._batch_stats,
             opt_state=opt_state, step=jnp.asarray(0, jnp.int32),
@@ -161,7 +162,9 @@ class Trainer:
                 (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params, state.batch_stats, poses, mask, key, stage, True
                 )
-                updates, new_opt = self._opt.update(grads, state.opt_state, state.params)
+                # per-stage optimizer: created by _make_state(stage) before the
+                # first trace of this step, so the closure binds the right one
+                updates, new_opt = self._opts[stage].update(grads, state.opt_state, state.params)
                 new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
                 return (
                     state.replace(params=new_params, batch_stats=new_bs,
