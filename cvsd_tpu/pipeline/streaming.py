@@ -118,20 +118,13 @@ class StreamingPipeline:
                 if not batch.mask[b]:
                     continue
                 v = valid[b]
-                tracked = tracker.update(boxes_src[b][v], scores[b][v])
+                tracked = tracker.update_with_indices(boxes_src[b][v], scores[b][v])
                 if kpts is None or not tracked:
                     continue
-                # map detections to tracked ids by box identity (tracker returns
-                # the detection's own box), keypoints by matching row
-                det_boxes = boxes_src[b][v]
                 det_kpts = kpts[b][v]  # (n, 17, 3) letterbox coords
                 frame_no = int(batch.frame_numbers[b])
                 stamp = float(batch.timestamps_ms[b])
-                for track_id, box, _score in tracked:
-                    # find the detection row for this box
-                    di = int(np.argmin(np.abs(det_boxes - box).sum(axis=1))) if len(det_boxes) else -1
-                    if di < 0:
-                        continue
+                for track_id, _box, _score, di in tracked:
                     k = det_kpts[di][:, :2].copy()
                     k[:, 0] = (k[:, 0] - pad_x) / scale
                     k[:, 1] = (k[:, 1] - pad_y) / scale
@@ -267,16 +260,12 @@ class StreamingPipeline:
                 if st is None:
                     continue
                 v = valid[b]
-                tracked = st["tracker"].update(boxes_src[b][v], scores[b][v])
+                tracked = st["tracker"].update_with_indices(boxes_src[b][v], scores[b][v])
                 if kpts is None or not tracked:
                     continue
-                det_boxes = boxes_src[b][v]
                 det_kpts = kpts[b][v]
                 pad_x, pad_y = st["pad"]
-                for track_id, box, _s in tracked:
-                    di = int(np.argmin(np.abs(det_boxes - box).sum(axis=1))) if len(det_boxes) else -1
-                    if di < 0:
-                        continue
+                for track_id, _box, _s, di in tracked:
                     kp = det_kpts[di][:, :2].copy()
                     kp[:, 0] = (kp[:, 0] - pad_x) / st["scale"]
                     kp[:, 1] = (kp[:, 1] - pad_y) / st["scale"]

@@ -71,14 +71,22 @@ class IoUTracker:
 
     def update(self, boxes: np.ndarray, scores: Optional[np.ndarray] = None) -> List[Tuple[int, np.ndarray, float]]:
         """Associate this frame's detections; returns [(track_id, box_xyxy, score)]
-        for currently-confirmed tracks matched this frame."""
+        for currently-confirmed tracks matched this frame.
+        `update_with_indices` additionally reports each match's detection row."""
+        return [(tid, box, score) for tid, box, score, _di in self.update_with_indices(boxes, scores)]
+
+    def update_with_indices(
+        self, boxes: np.ndarray, scores: Optional[np.ndarray] = None
+    ) -> List[Tuple[int, np.ndarray, float, int]]:
+        """Like update(), but each entry is (track_id, box, score, det_index) so
+        callers can join auxiliary per-detection data (e.g. pose keypoints)."""
         boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
         scores = np.asarray(scores, np.float32).reshape(-1) if scores is not None else np.ones(len(boxes), np.float32)
         track_boxes = np.stack([t.box for t in self.tracks]) if self.tracks else np.zeros((0, 4), np.float32)
         iou = iou_matrix_np(track_boxes, boxes)
 
         matched_tracks, matched_dets = self._assign(iou)
-        out: List[Tuple[int, np.ndarray, float]] = []
+        out: List[Tuple[int, np.ndarray, float, int]] = []
         det_taken = set()
         for ti, di in zip(matched_tracks, matched_dets):
             t = self.tracks[ti]
@@ -89,7 +97,7 @@ class IoUTracker:
             t.misses = 0
             det_taken.add(di)
             if t.hits >= self.min_hits:
-                out.append((t.track_id, t.box.copy(), t.score))
+                out.append((t.track_id, t.box.copy(), t.score, int(di)))
 
         # unmatched tracks age out
         matched_set = set(matched_tracks)
@@ -112,7 +120,7 @@ class IoUTracker:
             self._next_id += 1
             self.tracks.append(t)
             if t.hits >= self.min_hits:
-                out.append((t.track_id, t.box.copy(), t.score))
+                out.append((t.track_id, t.box.copy(), t.score, int(di)))
         return out
 
     def _assign(self, iou: np.ndarray) -> Tuple[List[int], List[int]]:
