@@ -27,6 +27,12 @@ BASELINE_FPS = 30.0  # reference per-frame loop at video frame-rate (see docstri
 
 def main() -> None:
     import jax
+
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # the environment's sitecustomize may pre-register a TPU backend that
+        # env vars alone can't override
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from cvsd_tpu.config import get_default_config
