@@ -293,6 +293,21 @@ class StreamingPipeline:
             for p, v, s in zip(pending, videos, scores)
         ]
 
+    @staticmethod
+    def aggregate_events(events: Sequence[ScoreEvent], aggregations=("max", "mean", "percentile_95")) -> Dict[str, Dict[str, float]]:
+        """Per-video anomaly scores from streaming events (same max/mean/p95
+        aggregation as the offline video-level metrics,
+        reference: shopformer_2/utils/metrics.py:148-188)."""
+        from cvsd_tpu.utils.metrics import _AGGREGATORS
+
+        by_video: Dict[str, List[float]] = {}
+        for e in events:
+            by_video.setdefault(e.video, []).append(e.score)
+        return {
+            video: {agg: _AGGREGATORS[agg](np.asarray(scores)) for agg in aggregations}
+            for video, scores in by_video.items()
+        }
+
     def stream_videos(self, video_paths: Sequence[str]) -> Dict[str, Any]:
         """Process many videos through the same compiled programs; returns
         events + throughput stats (videos/hour, the BASELINE.md metric)."""

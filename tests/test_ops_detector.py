@@ -104,6 +104,32 @@ def test_batched_nms_end_to_end(use_pallas):
     assert kept_idx == {0, 2}
 
 
+def test_nms_all_overlapping_keeps_one():
+    boxes = np.tile(np.array([[10, 10, 50, 50]], np.float32), (32, 1))
+    boxes += np.random.default_rng(0).normal(0, 0.5, boxes.shape).astype(np.float32)
+    scores = np.linspace(0.9, 0.5, 32, dtype=np.float32)
+    keep = np.asarray(nms_jax(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+    assert keep.sum() == 1 and keep[0]
+
+
+def test_nms_none_above_confidence():
+    boxes = jnp.asarray([[[0, 0, 10, 10], [20, 20, 30, 30]]], jnp.float32)
+    scores = jnp.asarray([[0.1, 0.05]], jnp.float32)
+    ob, os_, valid, _ = batched_nms(boxes, scores, conf_thresh=0.5, pre_topk=2,
+                                    max_detections=4, use_pallas=False)
+    assert int(valid.sum()) == 0
+    np.testing.assert_array_equal(np.asarray(ob), 0.0)
+
+
+def test_nms_zero_area_boxes_safe():
+    boxes = jnp.asarray([[[5, 5, 5, 5], [0, 0, 10, 10]]], jnp.float32)
+    scores = jnp.asarray([[0.9, 0.8]], jnp.float32)
+    ob, os_, valid, _ = batched_nms(boxes, scores, conf_thresh=0.1, pre_topk=2,
+                                    max_detections=4, use_pallas=False)
+    assert int(valid.sum()) == 2  # degenerate box has IoU 0 with everything
+    assert np.all(np.isfinite(np.asarray(os_)))
+
+
 # ---------- letterbox ----------
 
 def test_letterbox_geometry():

@@ -47,6 +47,16 @@ def test_stream_videos_stats(streaming):
     assert len(out["events"]) >= 2
 
 
+def test_aggregate_events(streaming):
+    pipe, video = streaming
+    events = list(pipe.stream_video(video))
+    agg = pipe.aggregate_events(events)
+    assert "v.mp4" in agg
+    a = agg["v.mp4"]
+    assert a["max"] >= a["mean"] >= 0
+    assert a["max"] >= a["percentile_95"] - 1e-9
+
+
 def test_stream_videos_concurrent_matches_sequential(streaming, tmp_path_factory):
     from cvsd_tpu.data.video import write_test_video
 
