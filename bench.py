@@ -49,7 +49,7 @@ def main() -> None:
         batch = min(batch, 4)
         iters = min(iters, 3)
 
-    pipeline = DetectionPipeline(cfg, use_pallas=(backend == "tpu"))
+    pipeline = DetectionPipeline(cfg)
     rng = np.random.default_rng(0)
     # a few distinct buffers cycled across iters: defeats any result caching
     # while keeping host->device upload volume bounded
@@ -89,7 +89,7 @@ def main() -> None:
     auto_fps = None
     if backend == "tpu":
         cfg["detector"]["auto_size"] = True
-        auto_pipe = DetectionPipeline(cfg, variables=pipeline.variables, use_pallas=True)
+        auto_pipe = DetectionPipeline(cfg, variables=pipeline.variables)
         auto_full = auto_pipe._full_fn(src_h, src_w)
         float(reduce_(auto_full(auto_pipe.variables, frames[0])))
         auto_fps = batch * iters / timed(auto_full)

@@ -58,7 +58,10 @@ class DetectionPipeline:
         # UCF-Crime-sized video.
         self.auto_size = bool(d.get("auto_size", False))
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            # measured on v5e: the vmapped XLA suppression loop runs all images
+            # per iteration and edges out the per-image Pallas grid (~1 ms/batch
+            # either way); keep the XLA path default, Pallas selectable
+            use_pallas = bool(d.get("use_pallas_nms", False))
         self._full_fns: Dict[Tuple[int, int], Any] = {}
         self._detect = make_detect_fn(self.model, self.conf, self.iou, self.max_det,
                                       use_pallas=use_pallas)
