@@ -1,9 +1,10 @@
 """Benchmark: end-to-end batched person-detection throughput on one chip.
 
 Measures the framework's perf core — the fused letterbox -> CSP detector
-(v5m scale: width 0.75 / depth 0.67, bf16) -> decode -> Pallas NMS program —
+(v5m scale: width 0.75 / depth 0.67, bf16) -> decode -> batched NMS program —
 on UCF-Crime-shaped frames (320x240 RGB, the reference dataset's resolution),
-device-resident input, steady state.
+device-resident input, steady state. Details also report the auto-canvas
+mode (detect 240p at 320) and Shopformer scoring throughput.
 
 Baseline: the reference processes frames strictly one at a time through
 ultralytics YOLOv5m (/root/reference/preprocess.py:37-51, model.py:38); at
@@ -94,6 +95,27 @@ def main() -> None:
         float(reduce_(auto_full(auto_pipe.variables, frames[0])))
         auto_fps = batch * iters / timed(auto_full)
 
+    # tertiary: Shopformer anomaly-scoring throughput (sequences/sec)
+    shopformer_sps = None
+    if backend == "tpu":
+        from cvsd_tpu.models.shopformer import build_shopformer
+
+        sf = build_shopformer(cfg)
+        sf_vars = sf.init_variables(jax.random.PRNGKey(0))
+        score = jax.jit(lambda v, x: sf.apply(v, x, method="compute_anomaly_score"))
+        SB = 1024
+        poses = jnp.asarray(rng.normal(size=(SB, 12, 18, 2)).astype(np.float32))
+        float(jnp.sum(score(sf_vars, poses)))  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = jnp.float32(0)
+            for _i in range(4):
+                acc = acc + jnp.sum(score(sf_vars, poses))
+            float(acc)
+            best = min(best, time.perf_counter() - t0)
+        shopformer_sps = SB * 4 / best
+
     print(json.dumps({
         "metric": "detect_fps_per_chip",
         "value": round(fps, 2),
@@ -111,6 +133,7 @@ def main() -> None:
             "ms_per_batch": round(1000 * dt / iters, 2),
             "baseline_fps": BASELINE_FPS,
             "auto_canvas_fps": round(auto_fps, 2) if auto_fps else None,
+            "shopformer_scores_per_sec": round(shopformer_sps, 2) if shopformer_sps else None,
         },
     }))
 
