@@ -77,6 +77,19 @@ def test_nms_jax_matches_numpy(random_boxes):
     np.testing.assert_array_equal(keep, expected)
 
 
+def test_nms_pallas_multi_matches_jax(random_boxes):
+    from cvsd_tpu.ops.nms import nms_pallas_multi
+
+    boxes, scores = random_boxes
+    B = 5
+    bb = np.stack([boxes + i for i in range(B)])
+    keep = np.asarray(nms_pallas_multi(jnp.asarray(bb), jnp.ones((B, len(boxes)), jnp.float32),
+                                       0.45, group=2)) > 0.5
+    for b in range(B):
+        ref = np.asarray(nms_jax(jnp.asarray(bb[b]), jnp.asarray(scores), 0.45))
+        np.testing.assert_array_equal(keep[b], ref)
+
+
 def test_nms_pallas_matches_jax(random_boxes):
     boxes, scores = random_boxes
     keep_ref = np.asarray(nms_jax(jnp.asarray(boxes), jnp.asarray(scores), 0.45))
