@@ -132,6 +132,7 @@ class Trainer:
         model = self.model
         cfg_dict = self.config.to_dict()
         augment_on = bool(self.config["data"].get("augment", {}).get("enabled", True))
+        remat = bool(self.config["training"].get("remat", False))
 
         def maybe_augment(key, poses):
             if not augment_on:
@@ -146,15 +147,25 @@ class Trainer:
             method = "compute_gcae_loss" if stage == 1 else "compute_transformer_loss"
             if train and stage == 1:
                 # stage 1 updates BatchNorm running stats
-                loss, updates = model.apply(
-                    variables, poses, train=True, mask=mask, method=method,
-                    mutable=["batch_stats"], rngs={"dropout": dkey},
-                )
+                def fwd(variables, poses):
+                    return model.apply(
+                        variables, poses, train=True, mask=mask, method=method,
+                        mutable=["batch_stats"], rngs={"dropout": dkey},
+                    )
+
+                if remat:
+                    # rematerialize activations in the backward pass
+                    # (jax.checkpoint: trade FLOPs for HBM)
+                    fwd = jax.checkpoint(fwd)
+                loss, updates = fwd(variables, poses)
                 return loss, updates["batch_stats"]
-            loss = model.apply(
+            fwd = lambda variables, poses: model.apply(  # noqa: E731
                 variables, poses, train=train, mask=mask, method=method,
                 rngs={"dropout": dkey} if train else None,
             )
+            if remat and train:
+                fwd = jax.checkpoint(fwd)
+            loss = fwd(variables, poses)
             return loss, batch_stats
 
         def train_step(stage):

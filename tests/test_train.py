@@ -164,6 +164,20 @@ def test_grad_accum_and_schedulers(tmp_path):
         assert np.isfinite(artifact["history"]["stage1"][0]["loss"]), sched
 
 
+def test_remat_matches_baseline(tmp_path):
+    """jax.checkpoint rematerialization must not change the math."""
+    base = tiny_config(tmp_path / "a", **{"data.augment.enabled": False, "model.dropout": 0.0,
+                                          "training.stage1_epochs": 2, "training.stage2_epochs": 0})
+    rm = tiny_config(tmp_path / "b", **{"data.augment.enabled": False, "model.dropout": 0.0,
+                                        "training.stage1_epochs": 2, "training.stage2_epochs": 0,
+                                        "training.remat": True})
+    t1 = Trainer(base, verbose=False).setup(); t1.train_stage(1)
+    t2 = Trainer(rm, verbose=False).setup(); t2.train_stage(1)
+    l1 = [r["loss"] for r in t1.history["stage1"]]
+    l2 = [r["loss"] for r in t2.history["stage1"]]
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
 def test_pipeline_learns_synthetic_anomalies(tmp_path):
     """Learning regression: the two-stage pipeline must clearly separate the
     synthetic anomalies (reference smoke path analog). See RESULTS.md."""
