@@ -62,9 +62,15 @@ class FrameBatch:
 
 
 class VideoBatcher:
-    """Iterate a video as fixed-shape RGB frame batches with a prefetch thread."""
+    """Iterate a video as fixed-shape RGB frame batches with a prefetch thread.
 
-    def __init__(self, path: str, batch_size: int = 32, prefetch: int = 2, bgr_to_rgb: bool = True):
+    With ``use_native_ring=True`` (and the C++ lib built) decoded batches are
+    staged through the native ring buffer (native/ring_buffer.cpp): the
+    producer decodes straight into a preallocated slot, the consumer copies
+    out and releases — bounded memory, no Python-queue object churn."""
+
+    def __init__(self, path: str, batch_size: int = 32, prefetch: int = 2,
+                 bgr_to_rgb: bool = True, use_native_ring: Optional[bool] = None):
         if not _HAS_CV2:
             raise RuntimeError("OpenCV not available")
         self.path = path
@@ -72,8 +78,14 @@ class VideoBatcher:
         self.prefetch = int(prefetch)
         self.bgr_to_rgb = bgr_to_rgb
         self.info = video_info(path)
+        if use_native_ring is None:
+            use_native_ring = False
+        self.use_native_ring = use_native_ring
 
     def __iter__(self) -> Iterator[FrameBatch]:
+        if self.use_native_ring:
+            yield from self._iter_native()
+            return
         q: "queue.Queue[Optional[FrameBatch]]" = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=self._producer, args=(q,), daemon=True)
         t.start()
@@ -83,6 +95,75 @@ class VideoBatcher:
                 break
             yield batch
         t.join()
+
+    def _iter_native(self) -> Iterator[FrameBatch]:
+        from cvsd_tpu import native
+
+        if not native.available():
+            raise RuntimeError("native ring buffer requested but lib unavailable")
+        H, W, B = self.info.height, self.info.width, self.batch_size
+        rb = native.NativeRingBuffer(slots=self.prefetch + 1, shape=(B, H, W, 3), dtype=np.uint8)
+        # sidecar metadata per slot (numbers/stamps/mask), same synchronization
+        meta = {}
+
+        def producer():
+            cap = cv2.VideoCapture(self.path)
+            try:
+                if not cap.isOpened():
+                    return
+                frame_no = 0
+                while True:
+                    slot = rb.acquire_write()
+                    if slot < 0:
+                        return
+                    frames = rb.slot(slot)
+                    numbers = np.zeros(B, np.int32)
+                    stamps = np.zeros(B, np.float64)
+                    k = 0
+                    while k < B:
+                        ok, frame = cap.read()
+                        if not ok:
+                            break
+                        frame_no += 1
+                        if frame.shape[:2] != (H, W):
+                            frame = cv2.resize(frame, (W, H))
+                        frames[k] = frame[..., ::-1] if self.bgr_to_rgb else frame
+                        numbers[k] = frame_no
+                        stamps[k] = cap.get(cv2.CAP_PROP_POS_MSEC)
+                        k += 1
+                    if k == 0:
+                        rb.commit_write(slot)  # recycled by consumer via empty mask
+                        meta[slot] = None
+                        return
+                    mask = np.zeros(B, bool)
+                    mask[:k] = True
+                    if k < B:
+                        frames[k:] = 0  # deterministic padding (slots are reused)
+                    meta[slot] = (numbers, stamps, mask)
+                    rb.commit_write(slot)
+                    if k < B:
+                        return
+            finally:
+                cap.release()
+                rb.close()
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                slot = rb.acquire_read()
+                if slot < 0:
+                    break
+                m = meta.pop(slot, None)
+                if m is None:
+                    rb.release_read(slot)
+                    continue
+                numbers, stamps, mask = m
+                yield FrameBatch(rb.slot(slot).copy(), numbers, mask, stamps)
+                rb.release_read(slot)
+        finally:
+            t.join()
+            rb.destroy()
 
     def _producer(self, q: "queue.Queue[Optional[FrameBatch]]") -> None:
         cap = cv2.VideoCapture(self.path)

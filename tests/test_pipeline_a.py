@@ -137,6 +137,20 @@ def test_video(tmp_path_factory):
     return write_test_video(p, num_frames=40, width=320, height=240)
 
 
+def test_video_batcher_native_ring_matches_queue(test_video):
+    from cvsd_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    q_batches = list(VideoBatcher(test_video, batch_size=16))
+    n_batches = list(VideoBatcher(test_video, batch_size=16, use_native_ring=True))
+    assert len(q_batches) == len(n_batches)
+    for a, b in zip(q_batches, n_batches):
+        np.testing.assert_array_equal(a.frames, b.frames)
+        np.testing.assert_array_equal(a.frame_numbers, b.frame_numbers)
+        np.testing.assert_array_equal(a.mask, b.mask)
+
+
 def test_video_info_and_batching(test_video):
     info = video_info(test_video)
     assert (info.width, info.height) == (320, 240)
