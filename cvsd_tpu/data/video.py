@@ -196,6 +196,7 @@ class VideoBatcher:
             if k > 0:
                 mask = np.zeros(B, bool)
                 mask[:k] = True
+                frames[k:] = 0  # deterministic padding
                 q.put(FrameBatch(frames.copy(), numbers.copy(), mask, stamps.copy()))
         finally:
             cap.release()
