@@ -197,6 +197,8 @@ class VideoBatcher:
                 mask = np.zeros(B, bool)
                 mask[:k] = True
                 frames[k:] = 0  # deterministic padding
+                numbers[k:] = 0
+                stamps[k:] = 0.0
                 q.put(FrameBatch(frames.copy(), numbers.copy(), mask, stamps.copy()))
         finally:
             cap.release()
