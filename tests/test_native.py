@@ -68,6 +68,24 @@ def test_ring_buffer_producer_consumer():
     rb.destroy()
 
 
+def test_ring_buffer_tsan_stress():
+    """Race detection (SURVEY §5.3): build the stress harness with
+    ThreadSanitizer and run it; TSAN exits non-zero on any data race."""
+    import os
+    import subprocess
+
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+    try:
+        subprocess.run(["make", "-C", native_dir, "ring_stress_tsan"], check=True,
+                       capture_output=True, timeout=120)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        pytest.skip(f"tsan build unavailable: {e}")
+    out = subprocess.run([os.path.join(native_dir, "ring_stress_tsan")],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ring stress OK: 20000 items" in out.stdout
+
+
 def test_ring_buffer_backpressure():
     rb = native.NativeRingBuffer(slots=2, shape=(2,), dtype=np.float32)
     s0 = rb.acquire_write(); rb.commit_write(s0)
