@@ -80,6 +80,7 @@ def detection_loss(
     gt_kpts: Optional[jnp.ndarray] = None,  # (B, G, K, 2) px, optional pose head
     num_keypoints: int = 0,
     kpt_weight: float = 0.05,
+    obj_pos_weight: float = 1.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total loss + components from raw head maps (objectness BCE + IoU box
     loss + optional keypoint regression for the pose head)."""
@@ -90,7 +91,11 @@ def detection_loss(
     )  # (B, A)
     pos, target = assign_targets(gt_boxes, gt_valid, centers, strides)
 
-    obj_loss = optax.sigmoid_binary_cross_entropy(obj_logits, pos.astype(jnp.float32)).mean()
+    obj_bce = optax.sigmoid_binary_cross_entropy(obj_logits, pos.astype(jnp.float32))
+    if obj_pos_weight != 1.0:
+        # up-weight positives (sparse vs the anchor sea) for confident scores
+        obj_bce = jnp.where(pos, obj_pos_weight * obj_bce, obj_bce)
+    obj_loss = obj_bce.mean()
 
     # IoU loss on positives (diagonal of pairwise per-anchor)
     iou = jax.vmap(jax.vmap(lambda a, b: box_iou_matrix(a[None], b[None])[0, 0]))(pred_boxes, target)
@@ -127,7 +132,9 @@ def detection_loss(
 class DetectorTrainer:
     """Minimal jitted training driver for the person detector."""
 
-    def __init__(self, model: PersonDetector, lr: float = 1e-3, seed: int = 0):
+    def __init__(self, model: PersonDetector, lr: float = 1e-3, seed: int = 0,
+                 obj_pos_weight: float = 3.0):
+        self.obj_pos_weight = float(obj_pos_weight)
         self.model = model
         self.variables = model.init_variables(jax.random.PRNGKey(seed))
         centers, strides = anchor_centers(model.img_size)
@@ -149,6 +156,7 @@ class DetectorTrainer:
                 loss, aux = detection_loss(
                     raw, gt_boxes, gt_valid, size, centers, strides,
                     gt_kpts=gt_kpts, num_keypoints=model.num_keypoints,
+                    obj_pos_weight=self.obj_pos_weight,
                 )
                 return loss, (updates["batch_stats"], aux)
 
