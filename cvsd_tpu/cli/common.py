@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import argparse
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 from cvsd_tpu.config import apply_overrides, get_default_config, load_config, validate_config
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import csv
 import os
-from dataclasses import dataclass, fields
+from dataclasses import dataclass
 from typing import Iterable, List, Optional
 
 BBOX_COLUMNS = ("clip", "name", "frame", "person", "left", "top", "width", "height", "is_anomaly", "anomaly")

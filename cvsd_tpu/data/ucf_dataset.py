@@ -11,7 +11,7 @@ objective with sparsity and temporal-smoothness terms.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -20,7 +20,7 @@ provides the architecture and batched inference path, TPU-first:
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

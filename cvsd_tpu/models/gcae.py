@@ -27,7 +27,7 @@ auto-permuted.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax

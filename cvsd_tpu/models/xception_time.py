@@ -18,7 +18,6 @@ head = adaptive-avg-pool -> 1x1 convs -> classes. Layout is feature-last
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn

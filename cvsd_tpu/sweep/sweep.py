@@ -24,7 +24,7 @@ import time
 import traceback
 from typing import Any, Dict, Iterable, List, Optional
 
-from cvsd_tpu.config import Config, apply_overrides, get_default_config, merge_configs
+from cvsd_tpu.config import Config, get_default_config, merge_configs
 
 SEARCH_SPACE: Dict[str, List[Any]] = {
     "model.hidden_channels": [64, 128],

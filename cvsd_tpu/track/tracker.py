@@ -16,8 +16,8 @@ Kalman smoothing which the tiny inter-frame motion here doesn't need).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -19,8 +19,7 @@ Losses: BCE-with-logits objectness over all anchors (positives = 1),
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
