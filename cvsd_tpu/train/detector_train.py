@@ -132,8 +132,9 @@ class DetectorTrainer:
     """Minimal jitted training driver for the person detector."""
 
     def __init__(self, model: PersonDetector, lr: float = 1e-3, seed: int = 0,
-                 obj_pos_weight: float = 3.0):
+                 obj_pos_weight: float = 3.0, kpt_weight: float = 0.05):
         self.obj_pos_weight = float(obj_pos_weight)
+        self.kpt_weight = float(kpt_weight)
         self.model = model
         self.variables = model.init_variables(jax.random.PRNGKey(seed))
         centers, strides = anchor_centers(model.img_size)
@@ -155,7 +156,7 @@ class DetectorTrainer:
                 loss, aux = detection_loss(
                     raw, gt_boxes, gt_valid, size, centers, strides,
                     gt_kpts=gt_kpts, num_keypoints=model.num_keypoints,
-                    obj_pos_weight=self.obj_pos_weight,
+                    obj_pos_weight=self.obj_pos_weight, kpt_weight=self.kpt_weight,
                 )
                 return loss, (updates["batch_stats"], aux)
 
@@ -166,6 +167,55 @@ class DetectorTrainer:
             return optax.apply_updates(params, updates), new_bs, new_opt, loss, aux
 
         return step
+
+    def train_steps_scan(self, images: np.ndarray, gt_boxes: np.ndarray, gt_valid: np.ndarray,
+                         gt_kpts: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+        """Run N pre-batched steps in ONE device dispatch via lax.scan —
+        amortizes host/relay round-trips (inputs have a leading steps axis:
+        images (N, B, S, S, 3), gt_boxes (N, B, G, 4), ...). Returns per-step
+        loss curves."""
+        import jax
+
+        model, opt = self.model, self.opt
+        centers, strides, size = self._centers, self._strides, model.img_size
+        pos_w, kpt_w = self.obj_pos_weight, self.kpt_weight
+        if gt_kpts is None:
+            gt_kpts = np.zeros((*gt_boxes.shape[:3], max(model.num_keypoints, 1), 2), np.float32)
+
+        def one(carry, batch):
+            params, batch_stats, opt_state = carry
+            imgs, gb, gv, gk = batch
+
+            def loss_fn(p, bs):
+                raw, updates = model.apply({"params": p, "batch_stats": bs}, imgs,
+                                           train=True, mutable=["batch_stats"])
+                loss, aux = detection_loss(raw, gb, gv, size, centers, strides,
+                                           gt_kpts=gk if model.num_keypoints else None,
+                                           num_keypoints=model.num_keypoints,
+                                           obj_pos_weight=pos_w, kpt_weight=kpt_w)
+                return loss, (updates["batch_stats"], aux)
+
+            (loss, (new_bs, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_stats)
+            updates, new_opt = opt.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return (new_params, new_bs, new_opt), loss
+
+        @jax.jit
+        def run(params, batch_stats, opt_state, images, gt_boxes, gt_valid, gt_kpts):
+            (p, bs, os_), losses = jax.lax.scan(
+                one, (params, batch_stats, opt_state), (images, gt_boxes, gt_valid, gt_kpts)
+            )
+            return p, bs, os_, losses
+
+        p, bs, self.opt_state, losses = run(
+            self.variables["params"], self.variables["batch_stats"], self.opt_state,
+            jnp.asarray(images, jnp.float32), jnp.asarray(gt_boxes, jnp.float32),
+            jnp.asarray(gt_valid), jnp.asarray(gt_kpts, jnp.float32),
+        )
+        losses = np.asarray(jax.device_get(losses))
+        self.variables = {"params": jax.device_get(p), "batch_stats": jax.device_get(bs)}
+        return {"losses": losses}
 
     def train_step(self, images: np.ndarray, gt_boxes: np.ndarray, gt_valid: np.ndarray,
                    gt_kpts: Optional[np.ndarray] = None) -> Dict[str, float]:

@@ -23,7 +23,7 @@ import numpy as np
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--steps", type=int, default=150, help="detector training steps")
+    p.add_argument("--steps", type=int, default=800, help="detector training steps")
     p.add_argument("--out", type=str, default="/tmp/e2e_synthetic")
     p.add_argument("--img_size", type=int, default=128)
     args = p.parse_args()
@@ -44,15 +44,22 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     # 1. detector + pose head on rendered skeletons -------------------------
-    print("== training detector + pose head on rendered skeletons ==")
+    # lax.scan-batched steps: N optimizer updates in one device dispatch
+    print(f"== training detector + pose head on rendered skeletons ({args.steps} steps) ==")
     det_model = PersonDetector(img_size=args.img_size, width_mult=0.25, depth_mult=0.34,
                                num_keypoints=17, dtype=jnp.float32)
-    det_trainer = DetectorTrainer(det_model, lr=2e-3)
-    for step in range(args.steps):
-        images, boxes, valid, kpts = rendered_detection_batch(rng, 8, args.img_size)
-        out = det_trainer.train_step(images, boxes, valid, kpts)
-        if step % 25 == 0:
-            print(f"  step {step}: {out}")
+    det_trainer = DetectorTrainer(det_model, lr=2e-3, kpt_weight=0.3)
+    chunk = 200
+    done = 0
+    while done < args.steps:
+        n = min(chunk, args.steps - done)
+        data = [rendered_detection_batch(rng, 8, args.img_size) for _ in range(n)]
+        out = det_trainer.train_steps_scan(
+            np.stack([d[0] for d in data]), np.stack([d[1] for d in data]),
+            np.stack([d[2] for d in data]), np.stack([d[3] for d in data]),
+        )
+        done += n
+        print(f"  steps {done}: loss {out['losses'][0]:.2f} -> {out['losses'][-1]:.2f}")
 
     # 2. Shopformer on synthetic pose sequences -----------------------------
     print("== training shopformer on synthetic pose sequences ==")
