@@ -61,51 +61,81 @@ def main() -> None:
         done += n
         print(f"  steps {done}: loss {out['losses'][0]:.2f} -> {out['losses'][-1]:.2f}")
 
-    # 2. Shopformer on synthetic pose sequences -----------------------------
-    print("== training shopformer on synthetic pose sequences ==")
+    # 2. render videos and EXTRACT a PoseLift dataset with the trained pose
+    #    head — the Shopformer then trains on the same pose distribution it
+    #    will see at inference time (domain-matched, the real protocol)
+    print("== rendering videos + extracting PoseLift dataset ==")
+    from cvsd_tpu.data.ucf_crime import TemporalAnnotation
+    from cvsd_tpu.pipeline.pose_export import export_poselift_dataset
+    from cvsd_tpu.pipeline.preprocess import DetectionPipeline
+
     cfg = get_default_config()
-    cfg["data"]["dataset"] = "synthetic"
-    cfg["data"]["synthetic"].update(num_train=256, num_test=128)
-    cfg["data"]["batch_size"] = 64
-    cfg["model"]["hidden_channels"] = 16
-    cfg["training"].update(stage1_epochs=10, stage2_epochs=10, lr=1e-3)
-    cfg["experiment"]["checkpoint_dir"] = os.path.join(args.out, "shopformer")
     cfg["detector"].update(img_size=args.img_size, width_mult=0.25, depth_mult=0.34,
-                           batch_size=16, conf_threshold=0.15, max_detections=4,
+                           batch_size=16, conf_threshold=0.3, max_detections=4,
                            dtype="float32", pose_head=True)
+    det_pipeline = DetectionPipeline(cfg, variables=det_trainer.variables)
+
+    poselift_dir = os.path.join(args.out, "PoseLift")
+    T_VID = 72
+    train_videos = []
+    train_ds = SyntheticPoseLiftDataset(12, seq_len=T_VID, anomaly_ratio=0.0, seed=20)
+    for i in range(12):
+        p = os.path.join(args.out, f"train_{i}.mp4")
+        render_pose_video(p, train_ds.poses[i], seed=200 + i)
+        train_videos.append(p)
+    test_videos, annotations, truth = [], {}, {}
+    norm = SyntheticPoseLiftDataset(4, seq_len=T_VID, anomaly_ratio=0.0, seed=30)
+    anom = SyntheticPoseLiftDataset(4, seq_len=T_VID, anomaly_ratio=1.0, seed=31)
+    for kind, ds in (("normal", norm), ("anomalous", anom)):
+        for i in range(4):
+            name = f"test_{kind}_{i}"
+            p = os.path.join(args.out, f"{name}.mp4")
+            render_pose_video(p, ds.poses[i], seed=300 + i)
+            test_videos.append(p)
+            truth[name] = int(kind == "anomalous")
+            ranges = [(1, T_VID)] if kind == "anomalous" else []
+            annotations[name] = TemporalAnnotation(name, kind, ranges)
+    export_poselift_dataset(det_pipeline, train_videos, poselift_dir, "Train", verbose=False)
+    export_poselift_dataset(det_pipeline, test_videos, poselift_dir, "Test",
+                            annotations=annotations, verbose=False)
+
+    # 3. Shopformer on the EXTRACTED poses -----------------------------------
+    print("== training shopformer on extracted pose sequences ==")
+    cfg["data"].update(dataset="poselift", data_dir=poselift_dir, batch_size=64, stride=6)
+    cfg["model"]["hidden_channels"] = 16
+    cfg["training"].update(stage1_epochs=12, stage2_epochs=12, lr=1e-3)
+    cfg["experiment"]["checkpoint_dir"] = os.path.join(args.out, "shopformer")
     trainer = Trainer(cfg, verbose=False).setup()
     artifact = trainer.fit()
-    print(f"  shopformer synthetic test AUC: {artifact['test_metrics']['auc_roc']:.4f}")
+    print(f"  END-TO-END extracted-pose test AUC: {artifact['test_metrics']['auc_roc']:.4f}")
+    print(f"  video-level: { {k: round(v['auc_roc'],4) for k,v in (artifact['video_metrics'] or {}).items()} }")
 
-    # 3. render videos -------------------------------------------------------
-    print("== rendering videos ==")
-    normal = SyntheticPoseLiftDataset(4, seq_len=48, anomaly_ratio=0.0, seed=10)
-    anomalous = SyntheticPoseLiftDataset(4, seq_len=48, anomaly_ratio=1.0, seed=11)
-    videos = {}
-    for kind, ds in (("normal", normal), ("anomalous", anomalous)):
-        for i in range(2):
-            path = os.path.join(args.out, f"{kind}_{i}.mp4")
-            render_pose_video(path, ds.poses[i], seed=100 + i)
-            videos[path] = kind
-
-    # 4. stream through the full pipeline ------------------------------------
+    # 4. stream fresh videos through the live pipeline ----------------------
     print("== streaming decode -> detect -> pose -> shopformer ==")
     model = build_shopformer(cfg)
     variables = {"params": trainer._params, "batch_stats": trainer._batch_stats}
     scorer = ShopformerScorer(model, variables, cfg)
     pipe = StreamingPipeline(cfg, scorer, detector_variables=det_trainer.variables)
-    out = pipe.stream_videos_concurrent(list(videos), max_streams=4)
+    out = pipe.stream_videos_concurrent(test_videos, max_streams=8)
     agg = pipe.aggregate_events(out["events"])
     result = {}
-    for path, kind in videos.items():
+    for path in test_videos:
         name = os.path.basename(path)
-        result[name] = {"kind": kind, **agg.get(name, {})}
-        print(f"  {name} ({kind}): {agg.get(name)}")
-    print(f"  {out['frames']} frames at {out['fps']:.1f} fps, "
-          f"{len(out['events'])} scored windows")
+        stem = os.path.splitext(name)[0]
+        result[name] = {"label": truth[stem], **agg.get(name, {})}
+        print(f"  {name} (label={truth[stem]}): {agg.get(name)}")
+    # streaming-level AUC over per-video max scores
+    from cvsd_tpu.utils.metrics import compute_auc_roc
+
+    labels = [truth[os.path.splitext(n)[0]] for n in result]
+    maxes = [result[n].get("max", 0.0) for n in result]
+    stream_auc, _, _ = compute_auc_roc(labels, maxes)
+    print(f"  streaming video-level AUC (max agg): {stream_auc:.4f}")
+    print(f"  {out['frames']} frames at {out['fps']:.1f} fps, {len(out['events'])} scored windows")
     with open(os.path.join(args.out, "e2e_results.json"), "w") as f:
         json.dump({"videos": result, "frames": out["frames"], "fps": out["fps"],
-                   "shopformer_auc": artifact["test_metrics"]["auc_roc"]}, f, indent=2)
+                   "extracted_pose_auc": artifact["test_metrics"]["auc_roc"],
+                   "streaming_video_auc": stream_auc}, f, indent=2)
 
 
 if __name__ == "__main__":
