@@ -6,7 +6,10 @@ import os
 import subprocess
 import sys
 
+import pytest
 
+
+@pytest.mark.slow
 def test_bench_emits_one_json_line():
     env = dict(os.environ, BENCH_FORCE_CPU="1", BENCH_BATCH="2", BENCH_ITERS="2")
     out = subprocess.run([sys.executable, "bench.py"], capture_output=True, text=True,

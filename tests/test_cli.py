@@ -62,6 +62,7 @@ def test_cli_inference(trained_dir, tmp_path, capsys):
     assert "threshold=0.5000" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_cli_sweep_quick(tmp_path):
     out = str(tmp_path / "sweep")
     cli_sweep.main([

@@ -46,6 +46,7 @@ def test_assign_prefers_smaller_gt():
     np.testing.assert_allclose(np.asarray(target[0])[idx], small)
 
 
+@pytest.mark.slow
 def test_pose_head_training_step():
     rng = np.random.default_rng(0)
     model = PersonDetector(img_size=64, width_mult=0.25, depth_mult=0.34,
@@ -61,6 +62,7 @@ def test_pose_head_training_step():
     assert out["loss"] < first["loss"]
 
 
+@pytest.mark.slow
 def test_detector_training_learns_rectangles():
     rng = np.random.default_rng(0)
     model = PersonDetector(img_size=64, width_mult=0.25, depth_mult=0.34, dtype=jnp.float32)

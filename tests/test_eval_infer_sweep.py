@@ -87,6 +87,7 @@ def test_generate_configs_modes():
     assert [c["training"]["lr"] for c in rnd] == [c["training"]["lr"] for c in rnd2]
 
 
+@pytest.mark.slow
 def test_run_sweep_and_analysis(tmp_path):
     base = {
         "data": {"dataset": "synthetic", "batch_size": 16,

@@ -1,5 +1,6 @@
 import jax
 import numpy as np
+import pytest
 
 import __graft_entry__ as graft
 
@@ -11,9 +12,11 @@ def test_entry_compiles_and_runs():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_odd():
     graft.dryrun_multichip(1)

@@ -92,6 +92,7 @@ def test_plateau_controller():
 # ---------- end-to-end training ----------
 
 @pytest.mark.parametrize("variant", ["v1", "v2"])
+@pytest.mark.slow
 def test_two_stage_training_runs(tmp_path, variant):
     cfg = tiny_config(tmp_path, **{"model.variant": variant})
     trainer = Trainer(cfg, verbose=False).setup()
@@ -111,6 +112,7 @@ def test_two_stage_training_runs(tmp_path, variant):
     assert "video_metrics" in results and "score_stats" in results
 
 
+@pytest.mark.slow
 def test_stage1_loss_decreases(tmp_path):
     cfg = tiny_config(tmp_path, **{"training.stage1_epochs": 8, "data.augment.enabled": False})
     trainer = Trainer(cfg, verbose=False).setup()
@@ -119,6 +121,7 @@ def test_stage1_loss_decreases(tmp_path):
     assert losses[-1] < losses[0] * 0.9
 
 
+@pytest.mark.slow
 def test_training_on_mesh(tmp_path):
     cfg = tiny_config(tmp_path)
     mc = MeshConfig.from_config(cfg)
@@ -128,6 +131,7 @@ def test_training_on_mesh(tmp_path):
     assert np.isfinite(artifact["history"]["stage2"][-1]["loss"])
 
 
+@pytest.mark.slow
 def test_mesh_matches_single_device(tmp_path):
     """DP sharding must not change the math (same seed, augment off)."""
     cfg1 = tiny_config(tmp_path / "a", **{"data.augment.enabled": False, "model.dropout": 0.0})
@@ -141,6 +145,7 @@ def test_mesh_matches_single_device(tmp_path):
     np.testing.assert_allclose(l1, l2, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint(tmp_path):
     cfg = tiny_config(tmp_path)
     t1 = Trainer(cfg, verbose=False).setup()
@@ -153,6 +158,7 @@ def test_resume_from_checkpoint(tmp_path):
     assert len(t2.history["stage2"]) == 2
 
 
+@pytest.mark.slow
 def test_grad_accum_and_schedulers(tmp_path):
     for sched in ("cosine_warmup", "exponential", "step", "reduce_on_plateau"):
         cfg = tiny_config(
@@ -164,6 +170,7 @@ def test_grad_accum_and_schedulers(tmp_path):
         assert np.isfinite(artifact["history"]["stage1"][0]["loss"]), sched
 
 
+@pytest.mark.slow
 def test_remat_matches_baseline(tmp_path):
     """jax.checkpoint rematerialization must not change the math."""
     base = tiny_config(tmp_path / "a", **{"data.augment.enabled": False, "model.dropout": 0.0,
@@ -178,6 +185,7 @@ def test_remat_matches_baseline(tmp_path):
     np.testing.assert_allclose(l1, l2, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_learns_synthetic_anomalies(tmp_path):
     """Learning regression: the two-stage pipeline must clearly separate the
     synthetic anomalies (reference smoke path analog). See RESULTS.md."""

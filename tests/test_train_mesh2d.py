@@ -2,12 +2,14 @@
 'data' only; exercises the MeshConfig plumbing beyond the 1-D case."""
 
 import numpy as np
+import pytest
 
 from cvsd_tpu.config import get_default_config
 from cvsd_tpu.parallel import MeshConfig
 from cvsd_tpu.train import Trainer
 
 
+@pytest.mark.slow
 def test_trainer_on_2d_mesh(tmp_path):
     cfg = get_default_config()
     cfg["data"]["dataset"] = "synthetic"

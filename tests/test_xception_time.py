@@ -48,6 +48,7 @@ def test_standardizer():
     np.testing.assert_allclose(Z.std(axis=(0, 1)), 1, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_xceptiontime_learns_separable_classes(tmp_path):
     rng = np.random.default_rng(0)
     n = 128
