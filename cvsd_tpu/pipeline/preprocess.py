@@ -33,6 +33,7 @@ from cvsd_tpu.data.ucf_crime import DEFAULT_CATEGORY_FILTER, read_train_list, ro
 from cvsd_tpu.data.video import VideoBatcher
 from cvsd_tpu.models.detector import PersonDetector, build_detector, make_detect_fn
 from cvsd_tpu.ops.letterbox import letterbox_batch, unletterbox_boxes
+from cvsd_tpu.parallel.mesh import MeshConfig, batch_sharding, replicate
 from cvsd_tpu.ops.iou import xyxy_to_xywhn
 from cvsd_tpu.track.tracker import IoUTracker
 
@@ -41,8 +42,10 @@ class DetectionPipeline:
     """Detector + fused preprocess/postprocess jitted per source resolution."""
 
     def __init__(self, config: Dict[str, Any], variables: Optional[Any] = None, seed: int = 0,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None, mesh_config: Optional[MeshConfig] = None):
         self.config = config
+        self.mesh_config = mesh_config  # DP inference: frames sharded over the
+        #                                 mesh's batch axis, params replicated
         d = config.get("detector", {})
         self.model: PersonDetector = build_detector(config)
         self.variables = variables if variables is not None else self.model.init_variables(
@@ -65,6 +68,11 @@ class DetectionPipeline:
         self._full_fns: Dict[Tuple[int, int], Any] = {}
         self._detect = make_detect_fn(self.model, self.conf, self.iou, self.max_det,
                                       use_pallas=use_pallas)
+        if self.mesh_config is not None:
+            mult = int(self.mesh_config.mesh.shape[self.mesh_config.batch_axis])
+            if self.batch_size % mult:
+                self.batch_size = ((self.batch_size + mult - 1) // mult) * mult
+            self.variables = replicate(self.mesh_config.mesh, self.variables)
 
     def _canvas_size(self, src_h: int, src_w: int) -> int:
         if not self.auto_size:
@@ -97,9 +105,16 @@ class DetectionPipeline:
         return self._full_fns[key]
 
     def detect_frames(self, frames: np.ndarray):
-        """(B, H, W, 3) uint8 -> host numpy (boxes_xyxy, xywhn, scores, valid[, kpts])."""
+        """(B, H, W, 3) uint8 -> host numpy (boxes_xyxy, xywhn, scores, valid[, kpts]).
+        With a mesh, frames are sharded over the data axis (DP inference)."""
         B, H, W, _ = frames.shape
-        out = self._full_fn(H, W)(self.variables, jnp.asarray(frames))
+        if self.mesh_config is not None:
+            frames_dev = jax.device_put(
+                frames, batch_sharding(self.mesh_config.mesh, 4, self.mesh_config.batch_axis)
+            )
+        else:
+            frames_dev = jnp.asarray(frames)
+        out = self._full_fn(H, W)(self.variables, frames_dev)
         return tuple(np.asarray(jax.device_get(o)) for o in out)
 
 
