@@ -32,11 +32,12 @@ def main(argv=None) -> None:
 
         variables, _ = load_checkpoint(args.detector_checkpoint)
 
+    from cvsd_tpu.cli.common import maybe_mesh
     from cvsd_tpu.pipeline.preprocess import preprocess_ucf_crime
 
     stats = preprocess_ucf_crime(cfg, args.dataset_dir, output_dir=args.output_dir,
                                  category_filter=args.categories, limit=args.limit,
-                                 variables=variables)
+                                 variables=variables, mesh_config=maybe_mesh(cfg))
     print(json.dumps(stats, indent=2, default=str))
 
 

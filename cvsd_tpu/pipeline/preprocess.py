@@ -198,14 +198,16 @@ def preprocess_ucf_crime(
     train_list: str = "Anomaly_Train.txt",
     limit: Optional[int] = None,
     variables: Optional[Any] = None,
+    mesh_config: Optional[MeshConfig] = None,
     verbose: bool = True,
 ) -> Dict[str, Any]:
-    """The full preprocess driver (reference: preprocess.py:5-53)."""
+    """The full preprocess driver (reference: preprocess.py:5-53).
+    With a mesh, frame batches shard across chips (DP inference)."""
     output_dir = output_dir or dataset_dir
     entries = read_train_list(os.path.join(dataset_dir, train_list), category_filter)
     if limit:
         entries = entries[:limit]
-    pipeline = DetectionPipeline(config, variables=variables)
+    pipeline = DetectionPipeline(config, variables=variables, mesh_config=mesh_config)
     tracker = IoUTracker()
     stats: Dict[str, Any] = {"videos": 0, "frames": 0, "rows": 0, "skipped": [], "seconds": 0.0}
     for entry in entries:
