@@ -145,6 +145,11 @@ def evaluate_checkpoint(
         ds.labels, scores, ds.video_ids, ev.get("video_aggregations", ("max", "mean", "percentile_95"))
     )
 
+    # full ROC/PR curve arrays, as in the reference's results artifact
+    # (shopformer/training_results.json ROC fpr/tpr arrays)
+    _auc, fpr, tpr = compute_auc_roc(ds.labels, scores)
+    _ap, precision, recall = compute_auc_pr(ds.labels, scores)
+
     _, ckpt_meta = load_checkpoint(checkpoint_path)
     recorded = (ckpt_meta.get("metrics") or {}).get("auc_roc")
     result: Dict[str, Any] = {
@@ -159,6 +164,8 @@ def evaluate_checkpoint(
             "median": float(np.median(scores)),
         },
         "num_sequences": int(len(ds)),
+        "roc_curve": {"fpr": fpr.tolist(), "tpr": tpr.tolist()},
+        "pr_curve": {"precision": precision.tolist(), "recall": recall.tolist()},
     }
     if recorded is not None:
         result["recorded_auc_roc"] = float(recorded)

@@ -45,6 +45,9 @@ def test_evaluate_checkpoint_artifact(trained, tmp_path):
     assert set(result["video_metrics"]) == {"max", "mean", "percentile_95"}
     assert "auc_delta_vs_recorded" in result
     assert len(result["per_sample"]) == result["num_sequences"]
+    assert len(result["roc_curve"]["fpr"]) == len(result["roc_curve"]["tpr"])
+    assert result["roc_curve"]["fpr"][0] == 0.0 and result["roc_curve"]["fpr"][-1] == 1.0
+    assert len(result["pr_curve"]["precision"]) == len(result["pr_curve"]["recall"])
     assert os.path.exists(os.path.join(out, "metrics.json"))
     for plot in ("roc_curve.png", "pr_curve.png", "score_distribution.png"):
         assert os.path.exists(os.path.join(out, plot))
