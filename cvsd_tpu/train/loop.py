@@ -187,6 +187,26 @@ class Trainer:
 
         self._stage_steps = {1: jax.jit(train_step(1), donate_argnums=0), 2: jax.jit(train_step(2), donate_argnums=0)}
 
+        def epoch_scan(stage):
+            # one dispatch per EPOCH: scan the per-batch step over stacked
+            # batches — same math as the per-batch path (sequential updates),
+            # but only one host->device round trip per epoch. Critical on
+            # remote-relay TPU setups where per-dispatch latency dominates
+            # tiny-model steps.
+            step = train_step(stage)
+
+            def run(state: TrainState, poses_all, masks_all, keys_all):
+                def body(s, batch):
+                    poses, mask, key = batch
+                    return step(s, poses, mask, key)
+
+                return jax.lax.scan(body, state, (poses_all, masks_all, keys_all))
+
+            return run
+
+        self._stage_epoch_scans = {1: jax.jit(epoch_scan(1), donate_argnums=0),
+                                   2: jax.jit(epoch_scan(2), donate_argnums=0)}
+
         def eval_step(params, batch_stats, poses):
             return model.apply(
                 {"params": params, "batch_stats": batch_stats}, poses, method="compute_anomaly_score"
@@ -225,15 +245,32 @@ class Trainer:
         eval_every = int(t.get("eval_every_n_epochs", 1) or 1)
         best_loss = float("inf")
 
+        scan_epoch = bool(t.get("scan_epoch", False)) and self.mesh_config is None
         for epoch in range(1, epochs + 1):
             t0 = time.perf_counter()
             losses = []
-            for i, batch in enumerate(self.datamodule.train_batches(epoch=epoch, pad_to_multiple_of=mult)):
-                key = jax.random.fold_in(self.rng, int(state.step) * 131 + i + epoch * 7919)
-                b = self._put_batch(batch)
-                state, loss = step_fn(state, b["poses"], b["mask"], key)
-                losses.append(loss)
-            epoch_loss = float(np.mean([jax.device_get(l) for l in losses])) if losses else float("nan")
+            if scan_epoch:
+                batches = list(self.datamodule.train_batches(epoch=epoch, pad_to_multiple_of=mult))
+                if batches:
+                    poses_all = np.stack([b["poses"] for b in batches])
+                    masks_all = np.stack([b["mask"] for b in batches])
+                    keys_all = jnp.stack([
+                        jax.random.fold_in(self.rng, epoch * 100003 + i) for i in range(len(batches))
+                    ])
+                    state, loss_arr = self._stage_epoch_scans[stage](
+                        state, jnp.asarray(poses_all), jnp.asarray(masks_all), keys_all
+                    )
+                    losses = [loss_arr]
+                    epoch_loss = float(np.mean(jax.device_get(loss_arr)))
+                else:
+                    epoch_loss = float("nan")
+            else:
+                for i, batch in enumerate(self.datamodule.train_batches(epoch=epoch, pad_to_multiple_of=mult)):
+                    key = jax.random.fold_in(self.rng, int(state.step) * 131 + i + epoch * 7919)
+                    b = self._put_batch(batch)
+                    state, loss = step_fn(state, b["poses"], b["mask"], key)
+                    losses.append(loss)
+                epoch_loss = float(np.mean([jax.device_get(l) for l in losses])) if losses else float("nan")
             if losses and not np.isfinite(epoch_loss) and t.get("abort_on_nan", True):
                 # failure detection: a NaN/inf loss means diverged training —
                 # stop the stage instead of burning the remaining epochs

@@ -171,6 +171,22 @@ def test_grad_accum_and_schedulers(tmp_path):
 
 
 @pytest.mark.slow
+def test_scan_epoch_matches_per_batch(tmp_path):
+    """lax.scan whole-epoch training must match the per-batch path
+    (augment/dropout off so RNG keys don't enter the math)."""
+    base = tiny_config(tmp_path / "a", **{"data.augment.enabled": False, "model.dropout": 0.0,
+                                          "training.stage1_epochs": 3, "training.stage2_epochs": 0})
+    sc = tiny_config(tmp_path / "b", **{"data.augment.enabled": False, "model.dropout": 0.0,
+                                        "training.stage1_epochs": 3, "training.stage2_epochs": 0,
+                                        "training.scan_epoch": True})
+    t1 = Trainer(base, verbose=False).setup(); t1.train_stage(1)
+    t2 = Trainer(sc, verbose=False).setup(); t2.train_stage(1)
+    l1 = [r["loss"] for r in t1.history["stage1"]]
+    l2 = [r["loss"] for r in t2.history["stage1"]]
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_remat_matches_baseline(tmp_path):
     """jax.checkpoint rematerialization must not change the math."""
     base = tiny_config(tmp_path / "a", **{"data.augment.enabled": False, "model.dropout": 0.0,
