@@ -187,6 +187,18 @@ def test_scan_epoch_matches_per_batch(tmp_path):
 
 
 @pytest.mark.slow
+def test_scan_epoch_with_accum_and_scheduler(tmp_path):
+    cfg = tiny_config(tmp_path, **{"training.scan_epoch": True,
+                                   "training.grad_accum_steps": 2,
+                                   "training.scheduler": "exponential",
+                                   "training.stage1_epochs": 2,
+                                   "training.stage2_epochs": 1})
+    artifact = Trainer(cfg, verbose=False).setup().fit()
+    assert np.isfinite(artifact["history"]["stage1"][-1]["loss"])
+    assert np.isfinite(artifact["history"]["stage2"][-1]["loss"])
+
+
+@pytest.mark.slow
 def test_remat_matches_baseline(tmp_path):
     """jax.checkpoint rematerialization must not change the math."""
     base = tiny_config(tmp_path / "a", **{"data.augment.enabled": False, "model.dropout": 0.0,
