@@ -20,3 +20,38 @@ def test_dryrun_multichip_8():
 @pytest.mark.slow
 def test_dryrun_multichip_odd():
     graft.dryrun_multichip(1)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_self_provisions_from_single_device_parent():
+    """Simulate the driver environment: a parent process whose jax runtime has
+    ONE device must still complete dryrun_multichip(8) by re-executing on a
+    virtual 8-device CPU mesh (VERDICT round 1, weak #1)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    # one CPU device only: strip the conftest's forced device count
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    )
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+        "assert len(jax.devices()) == 1, jax.devices();\n"
+        "import __graft_entry__ as g; g.dryrun_multichip(8)\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout, proc.stdout
