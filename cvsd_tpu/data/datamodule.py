@@ -105,8 +105,15 @@ class PoseLiftDataModule:
             pad_to_multiple_of=pad_to_multiple_of,
         )
 
-    def steps_per_epoch(self) -> int:
-        return len(self.train_dataset) // self.batch_size
+    def steps_per_epoch(self, pad_to_multiple_of: int = 1) -> int:
+        """Optimizer steps per epoch. With a mesh, train_batches rounds the
+        batch size up to the data-axis multiple, so schedules must count with
+        the padded batch size or they decay slower than configured."""
+        bs = self.batch_size
+        m = int(pad_to_multiple_of)
+        if m > 1 and bs % m:
+            bs = ((bs + m - 1) // m) * m
+        return len(self.train_dataset) // bs
 
     def get_stats(self) -> Dict[str, int]:
         """Train/test/normal/anomaly counts

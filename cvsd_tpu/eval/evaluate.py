@@ -124,6 +124,43 @@ def _save_plots(out_dir: str, labels: np.ndarray, scores: np.ndarray, threshold:
     fig.savefig(os.path.join(out_dir, "score_distribution.png"), dpi=120); plt.close(fig)
 
 
+def mine_training_history(checkpoint_path: str) -> Dict[str, Any]:
+    """Reconstruct the training history by mining ALL sibling stage
+    checkpoints, not just the one being evaluated — the v1 evaluator
+    assembles stage-1 losses from gcae_checkpoint.pt, the per-epoch stage-2
+    history from final_model.pt, and the best epoch/metrics from
+    best_model.pt (reference: shopformer/evaluate.py:107-141). Here the
+    sibling taxonomy is stage{1,2}_{best,final}.msgpack."""
+    directory = os.path.dirname(os.path.abspath(checkpoint_path))
+    merged: Dict[str, Any] = {"stage1": [], "stage2": []}
+    sources: Dict[str, str] = {}
+    names = ["stage1_final", "stage1_best", "stage2_final", "stage2_best"]
+    base = os.path.splitext(os.path.basename(checkpoint_path))[0]
+    if base not in names:
+        names.append(base)
+    for name in names:
+        p = os.path.join(directory, f"{name}.msgpack")
+        if not os.path.exists(p):
+            continue
+        try:
+            _, meta = load_checkpoint(p)
+        except Exception:
+            continue
+        hist = meta.get("history") or {}
+        for stage_key in ("stage1", "stage2"):
+            records = hist.get(stage_key) or []
+            if len(records) > len(merged[stage_key]):
+                merged[stage_key] = records
+                sources[stage_key] = name
+        if name.endswith("_best") and name.startswith("stage2"):
+            if meta.get("epoch") is not None:
+                merged["best_epoch"] = meta["epoch"]
+            if meta.get("metrics"):
+                merged["best_metrics"] = meta["metrics"]
+    merged["sources"] = sources
+    return merged
+
+
 def evaluate_checkpoint(
     checkpoint_path: str,
     config: Optional[Dict[str, Any]] = None,
@@ -152,10 +189,19 @@ def evaluate_checkpoint(
 
     _, ckpt_meta = load_checkpoint(checkpoint_path)
     recorded = (ckpt_meta.get("metrics") or {}).get("auc_roc")
+    mined = mine_training_history(checkpoint_path)
+    history = ckpt_meta.get("history") or {}
+    # prefer the most complete per-stage records mined from sibling checkpoints
+    if len(mined.get("stage1", [])) > len(history.get("stage1", []) or []):
+        history = {**history, "stage1": mined["stage1"]}
+    if len(mined.get("stage2", [])) > len(history.get("stage2", []) or []):
+        history = {**history, "stage2": mined["stage2"]}
     result: Dict[str, Any] = {
         "checkpoint": checkpoint_path,
         "config": Config(cfg).to_dict(),
-        "history": ckpt_meta.get("history"),
+        "history": history,
+        "history_sources": mined.get("sources"),
+        "best_epoch": mined.get("best_epoch"),
         "test_metrics": metrics,
         "video_metrics": video_metrics,
         "score_stats": {

@@ -49,8 +49,13 @@ def assign_targets(
     centers: jnp.ndarray,    # (A, 2)
     strides: jnp.ndarray,    # (A,)
     center_radius: float = 2.5,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (pos (B, A) bool, target_boxes (B, A, 4))."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (pos (B, A) bool, target_boxes (B, A, 4), gt_idx (B, A)).
+
+    gt_idx is the matched GT index per anchor (min-area tie-break over the
+    inside-and-centered candidates); downstream per-anchor targets (boxes AND
+    keypoints) must gather with this same index so a positive anchor never
+    regresses toward a different person's keypoints than its box target."""
     cx = centers[None, :, None, 0]  # (1, A, 1)
     cy = centers[None, :, None, 1]
     x1, y1, x2, y2 = (gt_boxes[:, None, :, i] for i in range(4))  # (B, 1, G)
@@ -65,7 +70,7 @@ def assign_targets(
     gt_idx = jnp.argmin(cost, axis=-1)  # (B, A)
     pos = jnp.any(match, axis=-1)
     target = jnp.take_along_axis(gt_boxes, gt_idx[..., None], axis=1)
-    return pos, target
+    return pos, target, gt_idx
 
 
 def detection_loss(
@@ -88,7 +93,7 @@ def detection_loss(
         [raw[k].astype(jnp.float32)[..., 4].reshape(raw[k].shape[0], -1) for k in ("p3", "p4", "p5")],
         axis=1,
     )  # (B, A)
-    pos, target = assign_targets(gt_boxes, gt_valid, centers, strides)
+    pos, target, gt_idx = assign_targets(gt_boxes, gt_valid, centers, strides)
 
     obj_bce = optax.sigmoid_binary_cross_entropy(obj_logits, pos.astype(jnp.float32))
     if obj_pos_weight != 1.0:
@@ -105,19 +110,10 @@ def detection_loss(
     aux = {"obj_loss": obj_loss, "box_loss": box_loss, "n_pos": n_pos}
 
     if gt_kpts is not None and pred_kpts is not None:
-        # gather each positive anchor's assigned GT keypoints (reuse the
-        # same min-area assignment as the boxes)
-        cost = jnp.where(
-            (centers[None, :, None, 0] >= gt_boxes[:, None, :, 0])
-            & (centers[None, :, None, 0] <= gt_boxes[:, None, :, 2])
-            & (centers[None, :, None, 1] >= gt_boxes[:, None, :, 1])
-            & (centers[None, :, None, 1] <= gt_boxes[:, None, :, 3])
-            & gt_valid[:, None, :],
-            (gt_boxes[:, None, :, 2] - gt_boxes[:, None, :, 0])
-            * (gt_boxes[:, None, :, 3] - gt_boxes[:, None, :, 1]),
-            jnp.inf,
-        )
-        gt_idx = jnp.argmin(cost, axis=-1)  # (B, A)
+        # gather each positive anchor's assigned GT keypoints with the SAME
+        # gt_idx as the box target: keypoint target, `pos`, and the `scale`
+        # normalizer must all come from one GT even in crowded/overlapping
+        # scenes (ADVICE round 1, medium)
         tk = jnp.take_along_axis(gt_kpts, gt_idx[:, :, None, None], axis=1)  # (B, A, K, 2)
         # scale-normalized L2 on positives
         scale = jnp.maximum(target[..., 2] - target[..., 0], 1.0)[..., None, None]

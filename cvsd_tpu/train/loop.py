@@ -113,10 +113,32 @@ class Trainer:
             k: jax.device_put(v, batch_sharding(mesh, np.asarray(v).ndim, axis)) for k, v in batch.items()
         }
 
+    def _put_stacked(self, poses_all: np.ndarray, masks_all: np.ndarray, keys_all: jax.Array):
+        """Stage a stacked epoch (leading steps axis) for the scan path: under
+        a mesh the per-batch axis (dim 1) is sharded over 'data' so each
+        scanned step runs data-parallel; keys replicate."""
+        if self.mesh_config is None:
+            return jnp.asarray(poses_all), jnp.asarray(masks_all), keys_all
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh, axis = self.mesh_config.mesh, self.mesh_config.batch_axis
+
+        def put(x):
+            x = np.asarray(x)
+            return jax.device_put(x, NamedSharding(mesh, P(None, axis, *([None] * (x.ndim - 2)))))
+
+        from cvsd_tpu.parallel.mesh import replicated_sharding
+
+        return put(poses_all), put(masks_all), jax.device_put(keys_all, replicated_sharding(mesh))
+
     def _make_state(self, stage: int) -> TrainState:
         cfg = self.config
         epochs = int(cfg["training"][f"stage{stage}_epochs"])
-        steps = max(self.datamodule.steps_per_epoch() // int(cfg["training"].get("grad_accum_steps", 1)), 1)
+        steps = max(
+            self.datamodule.steps_per_epoch(self._data_multiple())
+            // int(cfg["training"].get("grad_accum_steps", 1)),
+            1,
+        )
         labels = stage_param_labels(self._params, stage)
         self._opts[stage] = build_optimizer(cfg, steps, epochs, param_labels=labels)
         opt_state = self._opts[stage].init(self._params)
@@ -244,29 +266,42 @@ class Trainer:
         ckpt_every = int(t.get("checkpoint_every_n_epochs", 0) or 0)
         eval_every = int(t.get("eval_every_n_epochs", 1) or 1)
         best_loss = float("inf")
+        epoch_loss = float("nan")  # stays NaN when epochs == 0
 
-        scan_epoch = bool(t.get("scan_epoch", False)) and self.mesh_config is None
+        scan_epoch = bool(t.get("scan_epoch", False))
+        # chunk the epoch scan to bound host-side stacking memory (0 = whole epoch)
+        scan_chunk = int(t.get("scan_epoch_chunk", 0) or 0)
         for epoch in range(1, epochs + 1):
             t0 = time.perf_counter()
             losses = []
             if scan_epoch:
                 batches = list(self.datamodule.train_batches(epoch=epoch, pad_to_multiple_of=mult))
                 if batches:
-                    poses_all = np.stack([b["poses"] for b in batches])
-                    masks_all = np.stack([b["mask"] for b in batches])
-                    keys_all = jnp.stack([
-                        jax.random.fold_in(self.rng, epoch * 100003 + i) for i in range(len(batches))
-                    ])
-                    state, loss_arr = self._stage_epoch_scans[stage](
-                        state, jnp.asarray(poses_all), jnp.asarray(masks_all), keys_all
-                    )
-                    losses = [loss_arr]
-                    epoch_loss = float(np.mean(jax.device_get(loss_arr)))
+                    chunk = scan_chunk if scan_chunk > 0 else len(batches)
+                    for c0 in range(0, len(batches), chunk):
+                        part = batches[c0 : c0 + chunk]
+                        poses_all = np.stack([b["poses"] for b in part])
+                        masks_all = np.stack([b["mask"] for b in part])
+                        keys_all = jnp.stack([
+                            jax.random.fold_in(self.rng, epoch * 100003 + c0 + i)
+                            for i in range(len(part))
+                        ])
+                        poses_all, masks_all, keys_all = self._put_stacked(
+                            poses_all, masks_all, keys_all
+                        )
+                        state, loss_arr = self._stage_epoch_scans[stage](
+                            state, poses_all, masks_all, keys_all
+                        )
+                        losses.append(np.asarray(jax.device_get(loss_arr)))
+                    epoch_loss = float(np.mean(np.concatenate(losses)))
                 else:
                     epoch_loss = float("nan")
             else:
                 for i, batch in enumerate(self.datamodule.train_batches(epoch=epoch, pad_to_multiple_of=mult)):
-                    key = jax.random.fold_in(self.rng, int(state.step) * 131 + i + epoch * 7919)
+                    # key from host-side counters only (same formula as the
+                    # scan path): deriving it from state.step would force a
+                    # host-device sync per step and serialize dispatch
+                    key = jax.random.fold_in(self.rng, epoch * 100003 + i)
                     b = self._put_batch(batch)
                     state, loss = step_fn(state, b["poses"], b["mask"], key)
                     losses.append(loss)

@@ -60,6 +60,28 @@ def build_schedule(
         gamma_epoch = float(p.get("gamma", 0.95))
         gamma_step = gamma_epoch ** (1.0 / max(steps_per_epoch, 1))
         return lambda count: base_lr * gamma_step**count
+    if name in ("cosine_warm_restarts", "cosine_restarts"):
+        # CosineAnnealingWarmRestarts semantics (restarting cosine cycles of
+        # length T_0 * T_mult^k epochs; reference shopformer/train.py:484-531
+        # uses T_0 = max(1, stage_epochs // 3), T_mult=2, eta_min=min_lr)
+        t0 = float(p.get("T_0", max(num_epochs // 3, 1))) * max(steps_per_epoch, 1)
+        t_mult = float(p.get("T_mult", 2.0))
+        eta_min = float(p.get("eta_min", p.get("min_lr", 0.0)))
+
+        def restarts(count):
+            t = jnp.asarray(count, jnp.float32)
+            if t_mult == 1.0:
+                t_cur = jnp.mod(t, t0)
+                t_i = t0
+            else:
+                n = jnp.floor(
+                    jnp.log(jnp.maximum(t / t0 * (t_mult - 1.0) + 1.0, 1.0)) / math.log(t_mult)
+                )
+                t_cur = t - t0 * (t_mult**n - 1.0) / (t_mult - 1.0)
+                t_i = t0 * t_mult**n
+            return eta_min + (base_lr - eta_min) * 0.5 * (1.0 + jnp.cos(jnp.pi * t_cur / t_i))
+
+        return restarts
     raise ValueError(f"unknown scheduler {name!r}")
 
 

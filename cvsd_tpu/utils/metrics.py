@@ -76,11 +76,12 @@ def pr_curve(labels, scores) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def compute_auc_pr(labels, scores) -> Tuple[float, np.ndarray, np.ndarray]:
-    """Average-precision-style AUC-PR + curve; 0.5 on degenerate labels
-    (reference: shopformer_2/utils/metrics.py:44-63)."""
+    """Average-precision-style AUC-PR + curve; 0.0 on degenerate single-class
+    labels, matching the reference's exception fallback
+    (reference: shopformer_2/utils/metrics.py:62-63)."""
     y = _as1d(labels)
     if y.size == 0 or len(np.unique(y)) < 2:
-        return 0.5, np.array([1.0, 0.0]), np.array([0.0, 1.0])
+        return 0.0, np.array([1.0, 0.0]), np.array([0.0, 1.0])
     precision, recall, _ = pr_curve(labels, scores)
     # step-wise integral (sklearn average_precision): sum (r_i - r_{i+1}) * p_i
     ap = float(-np.sum(np.diff(recall) * precision[:-1]))

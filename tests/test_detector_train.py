@@ -23,7 +23,7 @@ def test_assign_targets_center_sampling():
     centers, strides = anchor_centers(64)
     gt = jnp.asarray([[[8.0, 8.0, 40.0, 40.0], [0, 0, 0, 0]]])
     valid = jnp.asarray([[True, False]])
-    pos, target = assign_targets(jnp.asarray(gt), valid, jnp.asarray(centers), jnp.asarray(strides))
+    pos, target, _ = assign_targets(jnp.asarray(gt), valid, jnp.asarray(centers), jnp.asarray(strides))
     pos = np.asarray(pos[0])
     assert pos.any()
     # every positive anchor center is inside the GT box
@@ -39,11 +39,58 @@ def test_assign_prefers_smaller_gt():
     small = [24.0, 24.0, 40.0, 40.0]
     gt = jnp.asarray([[big, small]])
     valid = jnp.asarray([[True, True]])
-    pos, target = assign_targets(gt, valid, jnp.asarray(centers), jnp.asarray(strides))
+    pos, target, _ = assign_targets(gt, valid, jnp.asarray(centers), jnp.asarray(strides))
     # the anchor at the dead center (32, 32) must target the small box
     idx = int(np.argmin(np.abs(centers - 32).sum(1)))
     assert bool(np.asarray(pos[0])[idx])
     np.testing.assert_allclose(np.asarray(target[0])[idx], small)
+
+
+def test_kpt_target_consistent_with_box_assignment():
+    """Regression (ADVICE r1, medium): in crowded scenes the keypoint target
+    must come from the SAME GT as the box target / scale normalizer, i.e. the
+    inside-and-centered assignment — not a separate inside-only matching."""
+    from cvsd_tpu.models.detector import decode_predictions
+    from cvsd_tpu.train.detector_train import detection_loss
+
+    centers, strides = anchor_centers(64)
+    centers_j, strides_j = jnp.asarray(centers), jnp.asarray(strides)
+    # anchor (4,4): inside both boxes; centered only w.r.t. big; small has
+    # smaller area -> inside-only min-area would pick small, box assignment big
+    big = [0.0, 0.0, 32.0, 32.0]
+    small = [0.0, 0.0, 8.0, 64.0]
+    gt = jnp.asarray([[big, small]])
+    valid = jnp.asarray([[True, True]])
+    K = 3
+    rng = np.random.default_rng(0)
+    gt_kpts = jnp.asarray(rng.uniform(0, 64, (1, 2, K, 2)).astype(np.float32))
+    raw = {
+        name: jnp.asarray(rng.normal(size=(1, 64 // s, 64 // s, 5 + 3 * K)).astype(np.float32))
+        for name, s in zip(("p3", "p4", "p5"), (8, 16, 32))
+    }
+    _, aux = detection_loss(raw, gt, valid, 64, centers_j, strides_j,
+                            gt_kpts=gt_kpts, num_keypoints=K)
+
+    pos, target, gt_idx = assign_targets(gt, valid, centers_j, strides_j)
+    # the geometry really exercises the divergence: inside-only min-area
+    # disagrees with the box assignment on some positive anchor
+    inside = (
+        (centers_j[None, :, None, 0] >= gt[:, None, :, 0])
+        & (centers_j[None, :, None, 0] <= gt[:, None, :, 2])
+        & (centers_j[None, :, None, 1] >= gt[:, None, :, 1])
+        & (centers_j[None, :, None, 1] <= gt[:, None, :, 3])
+    )
+    area = (gt[:, None, :, 2] - gt[:, None, :, 0]) * (gt[:, None, :, 3] - gt[:, None, :, 1])
+    inside_idx = jnp.argmin(jnp.where(inside, area, jnp.inf), axis=-1)
+    assert bool(jnp.any(pos & (inside_idx != gt_idx)))
+
+    # reference kpt loss computed from the box assignment's gt_idx
+    _, _, pred_kpts = decode_predictions(raw, 64, K)
+    tk = jnp.take_along_axis(gt_kpts, gt_idx[:, :, None, None], axis=1)
+    scale = jnp.maximum(target[..., 2] - target[..., 0], 1.0)[..., None, None]
+    err = jnp.sum(((pred_kpts[..., :2] - tk) / scale) ** 2, axis=(-1, -2))
+    ref = jnp.sum(jnp.where(pos, err, 0.0)) / jnp.maximum(pos.sum(), 1.0)
+    np.testing.assert_allclose(float(aux["kpt_loss"]), float(ref), rtol=1e-5)
 
 
 @pytest.mark.slow

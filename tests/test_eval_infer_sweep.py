@@ -53,6 +53,23 @@ def test_evaluate_checkpoint_artifact(trained, tmp_path):
         assert os.path.exists(os.path.join(out, plot))
 
 
+def test_mine_training_history(trained):
+    """History is reconstructed from ALL sibling stage checkpoints — a stage-2
+    best checkpoint saved mid-training still yields the full stage-1 record
+    (reference: shopformer/evaluate.py:107-141)."""
+    from cvsd_tpu.eval.evaluate import mine_training_history
+
+    cfg, ckpt = trained
+    mined = mine_training_history(ckpt)
+    assert len(mined["stage1"]) == 1  # from stage1_final / stage2_final siblings
+    assert len(mined["stage2"]) == 1
+    assert "best_metrics" in mined and "auc_roc" in mined["best_metrics"]
+    assert mined["sources"]  # records where each stage came from
+    result = evaluate_checkpoint(ckpt)
+    assert len(result["history"]["stage1"]) == 1
+    assert result["best_epoch"] is not None
+
+
 def test_predict_poses(trained):
     cfg, ckpt = trained
     scorer = load_model(ckpt)

@@ -40,8 +40,9 @@ def test_auc_pr_matches_sklearn(labeled_scores):
 def test_single_class_is_safe():
     auc, _, _ = compute_auc_roc(np.zeros(10), np.arange(10))
     assert auc == 0.5
+    # degenerate AUC-PR falls back to 0.0 (reference shopformer_2/utils/metrics.py:62-63)
     ap, _, _ = compute_auc_pr(np.ones(10), np.arange(10))
-    assert ap == 0.5
+    assert ap == 0.0
     m = compute_metrics(np.zeros(10), np.arange(10.0))
     assert m["auc_roc"] == 0.5
 
