@@ -81,6 +81,9 @@ def get_default_config() -> Config:
                     "translate_range": [0.0, 0.0],
                     "temporal_dropout_prob": 0.1,
                     "keypoint_dropout_prob": 0.05,
+                    # v1 batch-level extras (reference shopformer/train.py:68-186)
+                    "time_warp_prob": 0.0,
+                    "mixup_alpha": 0.0,
                 },
             },
             "model": {

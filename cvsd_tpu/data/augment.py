@@ -154,6 +154,51 @@ class PoseAugmentor:
         return out.astype(pose_seq.dtype)
 
 
+def time_warp_permutation(key: jax.Array, batch: int, seq_len: int, prob: float) -> jax.Array:
+    """(B, T) frame-index permutations implementing the v1 adjacent-frame
+    time warp (reference: shopformer/train.py ~:140-160): with probability
+    `prob` per sample, swap 1-2 random adjacent frame pairs (applied
+    sequentially, so overlapping draws compose exactly like the reference's
+    in-place swaps)."""
+    kw, kn, k1, k2 = jax.random.split(key, 4)
+    warp = jax.random.bernoulli(kw, prob, (batch,)) & (seq_len > 2)
+    num_swaps = jax.random.randint(kn, (batch,), 1, 3)  # 1 or 2
+    t = jnp.arange(seq_len)
+    perm = jnp.broadcast_to(t, (batch, seq_len))
+
+    def apply_swap(perm, idx, active):
+        at_i = t[None, :] == idx[:, None]
+        at_i1 = t[None, :] == (idx[:, None] + 1)
+        val_i = jnp.take_along_axis(perm, idx[:, None], axis=1)
+        val_i1 = jnp.take_along_axis(perm, idx[:, None] + 1, axis=1)
+        swapped = jnp.where(at_i, val_i1, jnp.where(at_i1, val_i, perm))
+        return jnp.where(active[:, None], swapped, perm)
+
+    idx1 = jax.random.randint(k1, (batch,), 0, max(seq_len - 1, 1))
+    idx2 = jax.random.randint(k2, (batch,), 0, max(seq_len - 1, 1))
+    perm = apply_swap(perm, idx1, warp)
+    perm = apply_swap(perm, idx2, warp & (num_swaps == 2))
+    return perm
+
+
+def batched_time_warp(key: jax.Array, poses: jax.Array, prob: float) -> jax.Array:
+    """Apply the adjacent-frame time warp to a (B, T, V, C) batch."""
+    B, T = poses.shape[:2]
+    perm = time_warp_permutation(key, B, T, prob)
+    return jnp.take_along_axis(poses, perm[:, :, None, None], axis=1)
+
+
+def batched_mixup(key: jax.Array, poses: jax.Array, alpha: float) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batch-level mixup (reference: shopformer/train.py ~:165-186): one
+    lam ~ Beta(alpha, alpha) per batch, blend with a random batch permutation.
+    Returns (mixed, lam, perm) so callers/tests can reproduce the blend."""
+    kl, kp = jax.random.split(key)
+    lam = jax.random.beta(kl, alpha, alpha)
+    perm = jax.random.permutation(kp, poses.shape[0])
+    mixed = lam * poses + (1.0 - lam) * poses[perm]
+    return mixed.astype(poses.dtype), lam, perm
+
+
 def batched_augment(
     key: jax.Array,
     poses: jax.Array,  # (B, T, V, C)
@@ -165,6 +210,8 @@ def batched_augment(
     translation_range: float = 0.0,
     temporal_dropout_prob: float = 0.1,
     keypoint_dropout_prob: float = 0.05,
+    time_warp_prob: float = 0.0,
+    mixup_alpha: float = 0.0,
 ) -> jax.Array:
     """Jittable whole-batch augmentation; runs fused inside the train step.
 
@@ -174,7 +221,7 @@ def batched_augment(
     loops, shopformer_2/data/poselift_dataset.py:233-285).
     """
     B, T, V, C = poses.shape
-    ks = jax.random.split(key, 9)
+    ks = jax.random.split(key, 11)
     flip = jax.random.bernoulli(ks[0], flip_prob, (B,))
     scale = jax.random.uniform(ks[1], (B,), minval=scale_range[0], maxval=scale_range[1])
     rot = jnp.deg2rad(jax.random.uniform(ks[2], (B,), minval=-rotation_range, maxval=rotation_range))
@@ -216,6 +263,12 @@ def batched_augment(
     if keypoint_dropout_prob > 0:
         kmask = jax.random.bernoulli(ks[8], keypoint_dropout_prob, (B, T, V))
         out = jnp.where(kmask[..., None], 0.0, out)
+    # v1 batch-level extras, in the reference's order: warp then mixup last
+    # (shopformer/train.py:68-186)
+    if time_warp_prob > 0:
+        out = batched_time_warp(ks[9], out, time_warp_prob)
+    if mixup_alpha > 0 and B > 1:
+        out, _, _ = batched_mixup(ks[10], out, mixup_alpha)
     return out
 
 
@@ -237,4 +290,6 @@ def batched_augment_from_config(key: jax.Array, poses: jax.Array, config: Dict[s
         translation_range=sym("translate_range", 0.0),
         temporal_dropout_prob=a.get("temporal_dropout_prob", 0.1),
         keypoint_dropout_prob=a.get("keypoint_dropout_prob", 0.05),
+        time_warp_prob=a.get("time_warp_prob", 0.0),
+        mixup_alpha=a.get("mixup_alpha", 0.0),
     )

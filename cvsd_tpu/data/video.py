@@ -79,7 +79,15 @@ class VideoBatcher:
         self.bgr_to_rgb = bgr_to_rgb
         self.info = video_info(path)
         if use_native_ring is None:
-            use_native_ring = False
+            # auto: use the C++ ring buffer whenever the lib is built (it
+            # auto-builds on first import of cvsd_tpu.native when a toolchain
+            # exists); fall back silently to the Python queue otherwise
+            try:
+                from cvsd_tpu import native
+
+                use_native_ring = native.available()
+            except Exception:
+                use_native_ring = False
         self.use_native_ring = use_native_ring
 
     def __iter__(self) -> Iterator[FrameBatch]:

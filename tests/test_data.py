@@ -216,6 +216,62 @@ def test_batched_augment_is_jittable():
     assert out.shape == (2, 12, 18, 2)
 
 
+def test_time_warp_permutation_is_adjacent_swaps():
+    """Warp perms must differ from identity only by 1-2 adjacent-frame swaps
+    (reference shopformer/train.py v1 PoseAugmentation time warp)."""
+    from cvsd_tpu.data.augment import time_warp_permutation
+
+    B, T = 64, 12
+    perm = np.asarray(time_warp_permutation(jax.random.PRNGKey(3), B, T, prob=0.5))
+    ident = np.arange(T)
+    warped = 0
+    for b in range(B):
+        p = perm[b]
+        assert sorted(p.tolist()) == list(range(T))  # a real permutation
+        diff = np.where(p != ident)[0]
+        if diff.size == 0:
+            continue
+        warped += 1
+        # differing positions decompose into adjacent transpositions:
+        # 1 swap -> {i, i+1}; 2 swaps -> up to two such (possibly overlapping,
+        # composing to a 3-cycle on consecutive frames)
+        assert diff.size in (2, 3, 4), (b, p)
+        # every displaced frame moved by at most 2 positions (two overlapping
+        # adjacent swaps at most); disjoint swap pairs can be anywhere in T
+        assert np.all(np.abs(p - ident)[diff] <= 2)
+    assert 0 < warped < B  # prob=0.5: some warped, some untouched
+
+
+def test_batched_time_warp_gathers_frames():
+    from cvsd_tpu.data.augment import batched_time_warp, time_warp_permutation
+
+    poses = np.random.default_rng(0).normal(size=(8, 12, 17, 2)).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    out = np.asarray(batched_time_warp(key, poses, prob=1.0))
+    perm = np.asarray(time_warp_permutation(key, 8, 12, prob=1.0))
+    expected = np.stack([poses[b, perm[b]] for b in range(8)])  # NumPy golden
+    np.testing.assert_allclose(out, expected, atol=0)
+
+
+def test_batched_mixup_matches_numpy_blend():
+    from cvsd_tpu.data.augment import batched_mixup
+
+    poses = np.random.default_rng(1).normal(size=(16, 12, 17, 2)).astype(np.float32)
+    mixed, lam, perm = batched_mixup(jax.random.PRNGKey(5), poses, alpha=0.4)
+    lam, perm = float(lam), np.asarray(perm)
+    assert 0.0 <= lam <= 1.0
+    assert sorted(perm.tolist()) == list(range(16))
+    expected = lam * poses + (1 - lam) * poses[perm]  # NumPy golden
+    np.testing.assert_allclose(np.asarray(mixed), expected, atol=1e-6)
+
+
+def test_batched_augment_with_warp_and_mixup_jits():
+    fn = jax.jit(lambda k, p: batched_augment(k, p, time_warp_prob=0.3, mixup_alpha=0.2))
+    poses = np.random.default_rng(2).normal(size=(8, 12, 18, 2)).astype(np.float32)
+    out = np.asarray(fn(jax.random.PRNGKey(1), poses))
+    assert out.shape == poses.shape and np.all(np.isfinite(out))
+
+
 # ---------- batching ----------
 
 def test_batch_iterator_static_shapes(rng):

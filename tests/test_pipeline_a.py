@@ -142,8 +142,10 @@ def test_video_batcher_native_ring_matches_queue(test_video):
 
     if not native.available():
         pytest.skip("native toolchain unavailable")
-    q_batches = list(VideoBatcher(test_video, batch_size=16))
+    q_batches = list(VideoBatcher(test_video, batch_size=16, use_native_ring=False))
     n_batches = list(VideoBatcher(test_video, batch_size=16, use_native_ring=True))
+    # default (None) auto-selects the native ring when the lib is built
+    assert VideoBatcher(test_video, batch_size=16).use_native_ring
     assert len(q_batches) == len(n_batches)
     for a, b in zip(q_batches, n_batches):
         np.testing.assert_array_equal(a.frames, b.frames)
