@@ -140,6 +140,7 @@ def get_default_config() -> Config:
                 "conf_threshold": 0.25,
                 "iou_threshold": 0.45,
                 "max_detections": 128,
+                "nms_method": "pallas_fixpoint",  # | fixpoint | pallas_seq | xla
                 "person_class_only": True,
                 "pose_head": False,
             },

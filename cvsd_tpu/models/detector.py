@@ -45,7 +45,10 @@ class ConvBNAct(nn.Module):
         p = (self.kernel - 1) // 2  # even kernels (stem k=6 s=2) need p = k//2 - 1
         x = nn.Conv(self.features, (self.kernel, self.kernel), (self.stride, self.stride),
                     padding=((p, p), (p, p)), use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.97, dtype=self.dtype)(x)
+        # momentum/eps follow ultralytics Conv (torch momentum 0.03, eps 1e-3)
+        # so imported yolov5u running stats reproduce reference numerics
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=self.dtype)(x)
         return nn.silu(x)
 
 
@@ -169,13 +172,54 @@ class DetectHead(nn.Module):
         return jnp.concatenate(outs, -1)  # (B, H, W, 5[+3K])
 
 
+class V8DFLHead(nn.Module):
+    """Ultralytics v8-style decoupled head: DFL box branch (4*reg_max bins) +
+    class branch (nc logits) [+ our optional keypoint branch]. Architecture
+    matches the Detect module that yolov5*u checkpoints ship (box branch
+    width c2 = max(16, ch_p3//4, 4*reg_max), class branch width
+    c3 = max(ch_p3, min(nc, 100)), both shared across levels) so imported
+    ultralytics weights land 1:1 (/root/reference/model.py:18 loads
+    yolov5mu.pt — the anchor-free 'u' head, not classic v5)."""
+
+    num_classes: int = 80
+    reg_max: int = 16
+    box_ch: int = 64
+    cls_ch: int = 192
+    num_keypoints: int = 0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        b = ConvBNAct(self.box_ch, 3, dtype=self.dtype)(x, train)
+        b = ConvBNAct(self.box_ch, 3, dtype=self.dtype)(b, train)
+        b = nn.Conv(4 * self.reg_max, (1, 1), dtype=self.dtype)(b)
+        s = ConvBNAct(self.cls_ch, 3, dtype=self.dtype)(x, train)
+        s = ConvBNAct(self.cls_ch, 3, dtype=self.dtype)(s, train)
+        s = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(s)
+        outs = [b, s]
+        if self.num_keypoints:
+            k = ConvBNAct(x.shape[-1], 3, dtype=self.dtype)(x, train)
+            k = nn.Conv(self.num_keypoints * 3, (1, 1), dtype=self.dtype)(k)
+            outs.append(k)
+        return jnp.concatenate(outs, -1)  # (B, H, W, 4*reg_max + nc [+ 3K])
+
+
 class PersonDetector(nn.Module):
-    """Full detector: backbone -> PAN -> heads at strides 8/16/32."""
+    """Full detector: backbone -> PAN -> heads at strides 8/16/32.
+
+    head_variant:
+      'anchor_free' — compact from-scratch head (4 box + 1 obj [+ kpts])
+      'v8dfl'       — ultralytics-u compatible DFL head (80 classes), enabling
+                      direct yolov5mu weight import (utils/yolo_import.py)
+    """
 
     img_size: int = 640
     width_mult: float = 0.75
     depth_mult: float = 0.67
     num_keypoints: int = 0  # 17 to enable the pose head
+    head_variant: str = "anchor_free"
+    num_classes: int = 80  # v8dfl only
+    reg_max: int = 16  # v8dfl only
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -184,7 +228,16 @@ class PersonDetector(nn.Module):
         Returns raw per-level maps {'p3','p4','p5'}."""
         feats = Backbone(self.width_mult, self.depth_mult, dtype=self.dtype)(images, train)
         n3, n4, n5 = PANNeck(self.width_mult, self.depth_mult, dtype=self.dtype)(feats, train)
-        head = lambda: DetectHead(self.num_keypoints, dtype=self.dtype)  # noqa: E731
+        if self.head_variant == "v8dfl":
+            ch_p3 = n3.shape[-1]
+            box_ch = max(16, ch_p3 // 4, 4 * self.reg_max)
+            cls_ch = max(ch_p3, min(self.num_classes, 100))
+            head = lambda: V8DFLHead(  # noqa: E731
+                self.num_classes, self.reg_max, box_ch, cls_ch,
+                self.num_keypoints, dtype=self.dtype,
+            )
+        else:
+            head = lambda: DetectHead(self.num_keypoints, dtype=self.dtype)  # noqa: E731
         return {"p3": head()(n3, train), "p4": head()(n4, train), "p5": head()(n5, train)}
 
     def init_variables(self, rng: jax.Array, batch_size: int = 1):
@@ -227,22 +280,73 @@ def decode_predictions(
     return boxes, scores, kpts
 
 
+def decode_predictions_v8(
+    raw: Dict[str, jax.Array],
+    num_classes: int = 80,
+    reg_max: int = 16,
+    num_keypoints: int = 0,
+    class_idx: int = 0,  # person — the reference tracks classes=[0]
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """v8/u-head decode: DFL softmax-expectation distances -> xyxy boxes in
+    letterboxed-pixel coordinates + per-anchor person score. Mirrors
+    ultralytics Detect._inference (anchor points at cell centers + 0.5,
+    dist2bbox ltrb) so imported yolov5mu weights reproduce reference boxes."""
+    boxes_all, scores_all, kpts_all = [], [], []
+    bins = jnp.arange(reg_max, dtype=jnp.float32)
+    for name, stride in zip(("p3", "p4", "p5"), STRIDES):
+        x = raw[name].astype(jnp.float32)
+        B, H, W, _ = x.shape
+        gy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) + 0.5
+        gx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) + 0.5
+        dist = x[..., : 4 * reg_max].reshape(B, H, W, 4, reg_max)
+        dist = jnp.sum(jax.nn.softmax(dist, axis=-1) * bins, axis=-1)  # (B,H,W,4) ltrb
+        x1 = (gx - dist[..., 0]) * stride
+        y1 = (gy - dist[..., 1]) * stride
+        x2 = (gx + dist[..., 2]) * stride
+        y2 = (gy + dist[..., 3]) * stride
+        boxes = jnp.stack([x1, y1, x2, y2], -1)
+        score = jax.nn.sigmoid(x[..., 4 * reg_max + class_idx])
+        boxes_all.append(boxes.reshape(B, H * W, 4))
+        scores_all.append(score.reshape(B, H * W))
+        if num_keypoints:
+            k = x[..., 4 * reg_max + num_classes:].reshape(B, H, W, num_keypoints, 3)
+            kx = (gx[..., None] - 0.5 + k[..., 0] * 2.0) * stride
+            ky = (gy[..., None] - 0.5 + k[..., 1] * 2.0) * stride
+            kc = jax.nn.sigmoid(k[..., 2])
+            kpts_all.append(jnp.stack([kx, ky, kc], -1).reshape(B, H * W, num_keypoints, 3))
+    boxes = jnp.concatenate(boxes_all, axis=1)
+    scores = jnp.concatenate(scores_all, axis=1)
+    kpts = jnp.concatenate(kpts_all, axis=1) if kpts_all else None
+    return boxes, scores, kpts
+
+
+def decode_raw(model: "PersonDetector", raw: Dict[str, jax.Array]):
+    """Variant-dispatching decode: raw head maps -> (boxes, scores, kpts)."""
+    if model.head_variant == "v8dfl":
+        return decode_predictions_v8(raw, model.num_classes, model.reg_max,
+                                     model.num_keypoints)
+    return decode_predictions(raw, model.img_size, model.num_keypoints)
+
+
 def make_detect_fn(
     model: PersonDetector,
     conf_thresh: float = 0.25,
     iou_thresh: float = 0.45,
     max_detections: int = 128,
-    use_pallas: bool = True,
+    use_pallas: bool | None = None,
+    nms_method: str | None = None,
 ):
     """Build the fused jittable detect function:
     (variables, images) -> (boxes (B,M,4) xyxy, scores (B,M), valid (B,M)).
-    Keypoints, when enabled, are gathered for the kept detections."""
+    Keypoints, when enabled, are gathered for the kept detections.
+    nms_method: see ops.nms.batched_nms (default: fused Pallas fixpoint)."""
 
     def detect(variables, images):
         raw = model.apply(variables, images, train=False)
-        boxes, scores, kpts = decode_predictions(raw, model.img_size, model.num_keypoints)
+        boxes, scores, kpts = decode_raw(model, raw)
         out_boxes, out_scores, valid, anchor_idx = batched_nms(
-            boxes, scores, conf_thresh, iou_thresh, max_detections, use_pallas=use_pallas
+            boxes, scores, conf_thresh, iou_thresh, max_detections,
+            use_pallas=use_pallas, method=nms_method,
         )
         if kpts is None:
             return out_boxes, out_scores, valid
@@ -259,5 +363,7 @@ def build_detector(config: Dict[str, Any]) -> PersonDetector:
         width_mult=float(d.get("width_mult", 0.75)),
         depth_mult=float(d.get("depth_mult", 0.67)),
         num_keypoints=17 if d.get("pose_head") else 0,
+        head_variant=str(d.get("head_variant", "anchor_free")),
+        num_classes=int(d.get("num_classes", 80)),
         dtype=jnp.dtype(d.get("dtype", "bfloat16")),
     )

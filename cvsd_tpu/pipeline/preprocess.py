@@ -60,14 +60,16 @@ class DetectionPipeline:
         # the same weights run at any stride-64 multiple; 4x less compute on
         # UCF-Crime-sized video.
         self.auto_size = bool(d.get("auto_size", False))
+        # NMS method: the fused Pallas Jacobi-fixpoint kernel is the measured
+        # winner on v5e (full postprocess 1.63 ms vs 1.95 ms vmapped XLA at
+        # B=64, K=256); legacy bool use_pallas=False still selects plain XLA.
         if use_pallas is None:
-            # measured on v5e: the vmapped XLA suppression loop runs all images
-            # per iteration and edges out the per-image Pallas grid (~1 ms/batch
-            # either way); keep the XLA path default, Pallas selectable
-            use_pallas = bool(d.get("use_pallas_nms", False))
+            nms_method = str(d.get("nms_method", "pallas_fixpoint"))
+        else:
+            nms_method = "pallas_fixpoint" if use_pallas else "xla"
         self._full_fns: Dict[Tuple[int, int], Any] = {}
         self._detect = make_detect_fn(self.model, self.conf, self.iou, self.max_det,
-                                      use_pallas=use_pallas)
+                                      nms_method=nms_method)
         if self.mesh_config is not None:
             mult = int(self.mesh_config.mesh.shape[self.mesh_config.batch_axis])
             if self.batch_size % mult:

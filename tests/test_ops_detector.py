@@ -90,6 +90,69 @@ def test_nms_pallas_multi_matches_jax(random_boxes):
         np.testing.assert_array_equal(keep[b], ref)
 
 
+def test_nms_fixpoint_matches_greedy(random_boxes):
+    """Jacobi fixpoint NMS (XLA + Pallas) is exactly greedy NMS."""
+    from cvsd_tpu.ops.nms import nms_fixpoint_jax, nms_pallas_fixpoint
+
+    boxes, scores = random_boxes
+    B = 5
+    bb = np.stack([boxes + 7 * i for i in range(B)])
+    alive = np.ones((B, len(boxes)), np.float32)
+    ref = np.stack([
+        np.asarray(nms_jax(jnp.asarray(bb[b]), jnp.asarray(scores), 0.45)) for b in range(B)
+    ])
+    fp = np.asarray(nms_fixpoint_jax(jnp.asarray(bb), jnp.asarray(alive), 0.45))
+    np.testing.assert_array_equal(fp, ref)
+    pf = np.asarray(nms_pallas_fixpoint(jnp.asarray(bb), jnp.asarray(alive), 0.45, group=2))
+    np.testing.assert_array_equal(pf, ref)
+
+
+def test_nms_fixpoint_adversarial_chain():
+    """Depth-K suppression chain (each box overlaps only its neighbor) — the
+    worst case for fixpoint iteration: greedy keeps every other box."""
+    from cvsd_tpu.ops.nms import nms_fixpoint_jax, nms_pallas_fixpoint
+
+    K = 64
+    boxes = np.zeros((1, K, 4), np.float32)
+    for i in range(K):
+        boxes[0, i] = [i * 6.0, 0.0, i * 6.0 + 10.0, 10.0]  # neighbor IoU = 0.25
+    alive = np.ones((1, K), np.float32)
+    ref = np.asarray(nms_jax(jnp.asarray(boxes[0]), jnp.ones(K), 0.2))
+    assert ref.sum() == K // 2  # alternating keep
+    fp = np.asarray(nms_fixpoint_jax(jnp.asarray(boxes), jnp.asarray(alive), 0.2))[0]
+    np.testing.assert_array_equal(fp, ref)
+    pf = np.asarray(nms_pallas_fixpoint(jnp.asarray(boxes), jnp.asarray(alive), 0.2, group=1))[0]
+    np.testing.assert_array_equal(pf, ref)
+
+
+def test_nms_fixpoint_respects_initial_dead():
+    """Conf-dead candidates never suppress anyone."""
+    from cvsd_tpu.ops.nms import nms_fixpoint_jax
+
+    # box 0 dead (conf-filtered), overlaps box 1 heavily; box 1 must survive
+    boxes = jnp.asarray([[[0, 0, 10, 10], [1, 1, 11, 11], [100, 100, 110, 110]]], jnp.float32)
+    alive = jnp.asarray([[0.0, 1.0, 1.0]])
+    keep = np.asarray(nms_fixpoint_jax(boxes, alive, 0.45))[0]
+    np.testing.assert_array_equal(keep, [False, True, True])
+
+
+def test_batched_nms_method_equivalence(random_boxes):
+    """All four batched_nms methods produce identical outputs."""
+    boxes, _ = random_boxes
+    B = 3
+    bb = jnp.asarray(np.stack([boxes + 11 * i for i in range(B)]))
+    rng = np.random.default_rng(3)
+    sc = jnp.asarray(rng.uniform(size=(B, len(boxes))).astype(np.float32))
+    outs = {}
+    for m in ["xla", "fixpoint", "pallas_seq", "pallas_fixpoint"]:
+        outs[m] = [np.asarray(o) for o in batched_nms(
+            bb, sc, conf_thresh=0.25, iou_thresh=0.45, max_detections=16, pre_topk=32, method=m)]
+    ref = outs["xla"]
+    for m, o in outs.items():
+        for a, b in zip(ref, o):
+            np.testing.assert_allclose(a, b, err_msg=f"method {m}")
+
+
 def test_nms_pallas_matches_jax(random_boxes):
     boxes, scores = random_boxes
     keep_ref = np.asarray(nms_jax(jnp.asarray(boxes), jnp.asarray(scores), 0.45))
