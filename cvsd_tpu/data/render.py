@@ -81,6 +81,177 @@ def rendered_detection_batch(
     return images, boxes, valid, kpts
 
 
+def _textured_background(rng: np.random.Generator, height: int, width: int) -> np.ndarray:
+    """Low-frequency textured background + clutter rectangles, float [0,1]."""
+    gh, gw = height // 16 + 2, width // 16 + 2
+    coarse = rng.uniform(0.05, 0.55, (gh, gw, 3)).astype(np.float32)
+    up = np.kron(coarse, np.ones((16, 16, 1), np.float32))[:height, :width]
+    # cheap smoothing: average of 4 shifted copies
+    sm = (up + np.roll(up, 5, 0) + np.roll(up, 5, 1) + np.roll(up, (5, 5), (0, 1))) / 4
+    # horizontal brightness gradient (lighting)
+    grad = np.linspace(rng.uniform(0.7, 1.0), rng.uniform(0.7, 1.0), width, dtype=np.float32)
+    frame = sm * grad[None, :, None]
+    # clutter: textured rectangles (shelves/fixtures — non-person negatives)
+    for _ in range(int(rng.integers(3, 9))):
+        rw = int(rng.integers(width // 10, width // 3))
+        rh = int(rng.integers(height // 10, height // 2))
+        x0 = int(rng.integers(0, max(width - rw, 1)))
+        y0 = int(rng.integers(0, max(height - rh, 1)))
+        color = rng.uniform(0.1, 0.9, 3).astype(np.float32)
+        tex = rng.uniform(0.85, 1.15, (rh, rw, 1)).astype(np.float32)
+        frame[y0:y0 + rh, x0:x0 + rw] = np.clip(color * tex, 0, 1)
+    frame += rng.normal(0, 0.02, frame.shape).astype(np.float32)
+    return np.clip(frame, 0.0, 1.0)
+
+
+_LIMB_WIDTH = {  # relative to person scale: torso fat, fingers thin
+    (5, 6): 2.2, (5, 11): 2.4, (6, 12): 2.4, (11, 12): 2.2,  # torso box
+    (5, 7): 1.2, (7, 9): 1.0, (6, 8): 1.2, (8, 10): 1.0,      # arms
+    (11, 13): 1.5, (13, 15): 1.2, (12, 14): 1.5, (14, 16): 1.2,  # legs
+}
+
+
+def _draw_person(
+    frame: np.ndarray,  # (H, W, 3) float, mutated
+    owner: np.ndarray,  # (H, W) int, mutated — painter's pixel-owner map
+    pid: int,
+    pose: np.ndarray,  # (17, 2) canonical [0,1]
+    rng: np.random.Generator,
+    scale: float,
+    offset: Tuple[float, float],
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Draw one textured person; returns (box xyxy, kpts px, drawn pixel count)."""
+    height, width = frame.shape[:2]
+    pts = np.empty((17, 2), np.float32)
+    pts[:, 0] = (offset[0] + pose[:, 0] * scale) * width
+    pts[:, 1] = (offset[1] + pose[:, 1] * scale) * height
+    body_r = max(1.5, 2.8 * scale * min(height, width) / 64.0)
+    shirt = rng.uniform(0.15, 0.95, 3).astype(np.float32)
+    pants = rng.uniform(0.1, 0.85, 3).astype(np.float32)
+    skin = np.array([0.85, 0.65, 0.5], np.float32) * rng.uniform(0.6, 1.1)
+    drawn = 0
+
+    def disk(x: float, y: float, r: float, color: np.ndarray):
+        nonlocal drawn
+        xi, yi, ri = int(round(x)), int(round(y)), max(int(round(r)), 1)
+        y0, y1 = max(yi - ri, 0), min(yi + ri + 1, height)
+        x0, x1 = max(xi - ri, 0), min(xi + ri + 1, width)
+        if y0 >= y1 or x0 >= x1:
+            return
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        m = (yy - yi) ** 2 + (xx - xi) ** 2 <= ri * ri
+        tex = rng.uniform(0.85, 1.15)
+        frame[y0:y1, x0:x1][m] = np.clip(color * tex, 0, 1)
+        owner[y0:y1, x0:x1][m] = pid
+        drawn += int(m.sum())
+
+    # limbs back-to-front: legs, torso, arms, head
+    order = [(11, 13), (13, 15), (12, 14), (14, 16),
+             (5, 11), (6, 12), (11, 12), (5, 6),
+             (5, 7), (7, 9), (6, 8), (8, 10)]
+    for a, b in order:
+        wfac = _LIMB_WIDTH.get((a, b), _LIMB_WIDTH.get((b, a), 1.0))
+        color = pants if a >= 11 else shirt
+        seg = np.linalg.norm(pts[a] - pts[b])
+        n = max(int(seg / max(body_r * 0.7, 1.0)) + 1, 2)
+        for t in np.linspace(0, 1, n):
+            p = pts[a] * (1 - t) + pts[b] * t
+            disk(p[0], p[1], body_r * wfac, color)
+    # hands/feet + head
+    for j in (9, 10):
+        disk(pts[j, 0], pts[j, 1], body_r * 0.9, skin)
+    head_c = (pts[0] + (pts[1] + pts[2]) / 2) / 2
+    disk(head_c[0], head_c[1], body_r * 2.0, skin)
+    for j in (0, 1, 2, 3, 4):
+        disk(pts[j, 0], pts[j, 1], body_r * 0.5, skin * 0.9)
+
+    pad = body_r * 2.4
+    box = np.array([pts[:, 0].min() - pad, pts[:, 1].min() - pad,
+                    pts[:, 0].max() + pad, pts[:, 1].max() + pad], np.float32)
+    box = np.clip(box, 0, [width, height, width, height])
+    return box, pts, drawn
+
+
+def render_scene(
+    rng: np.random.Generator,
+    height: int,
+    width: int,
+    max_persons: int = 4,
+    seq_source: Optional[np.ndarray] = None,
+    min_scale: float = 0.12,
+    max_scale: float = 0.75,
+    occluder_prob: float = 0.3,
+    min_visibility: float = 0.3,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Hard multi-person scene: textured background/clutter, 1..max_persons
+    textured bodies at varied scales drawn back-to-front (real occlusion),
+    optional foreground occluder.
+
+    Returns (frame (H,W,3) f32 [0,1], boxes (max_persons,4), valid
+    (max_persons,), kpts (max_persons,17,2), visibility (max_persons,)).
+    `valid` is visibility >= min_visibility; heavily-occluded people keep
+    their geometry but are masked out of the loss/eval.
+    """
+    if seq_source is None:
+        ds = SyntheticPoseLiftDataset(num_samples=4, seq_len=8, anomaly_ratio=0.5,
+                                      seed=int(rng.integers(1 << 30)))
+        seq_source = ds.poses.reshape(-1, 17, 2)
+    frame = _textured_background(rng, height, width)
+    owner = np.full((height, width), -1, np.int32)
+    n = int(rng.integers(1, max_persons + 1))
+    scales = np.sort(rng.uniform(min_scale, max_scale, n))  # small (far) first
+    boxes = np.zeros((max_persons, 4), np.float32)
+    kpts = np.zeros((max_persons, 17, 2), np.float32)
+    vis = np.zeros(max_persons, np.float32)
+    drawn_counts = np.zeros(max_persons, np.int64)
+    for i in range(n):
+        pose = seq_source[rng.integers(len(seq_source))]
+        s = float(scales[i])
+        off = (rng.uniform(-0.1, 1.0 - s * 0.8), rng.uniform(-0.05, 1.0 - s * 0.9))
+        boxes[i], kpts[i], _ = _draw_person(frame, owner, i, pose, rng, s, off)
+        # unique footprint BEFORE later (nearer) people/occluders draw over it
+        drawn_counts[i] = int((owner == i).sum())
+    # foreground occluder: a textured pillar/crate over everything
+    if rng.uniform() < occluder_prob:
+        ow = int(rng.integers(width // 12, width // 4))
+        oh = int(rng.integers(height // 3, height))
+        x0 = int(rng.integers(0, max(width - ow, 1)))
+        y0 = int(rng.integers(0, max(height - oh, 1)))
+        color = rng.uniform(0.2, 0.8, 3).astype(np.float32)
+        tex = rng.uniform(0.9, 1.1, (oh, ow, 1)).astype(np.float32)
+        frame[y0:y0 + oh, x0:x0 + ow] = np.clip(color * tex, 0, 1)
+        owner[y0:y0 + oh, x0:x0 + ow] = -2
+    for i in range(n):
+        if drawn_counts[i] > 0:
+            vis[i] = float((owner == i).sum()) / float(drawn_counts[i])
+    valid = vis >= min_visibility
+    return frame, boxes, valid, kpts, vis
+
+
+def rendered_scene_batch(
+    rng: np.random.Generator,
+    batch: int,
+    img_size: int,
+    max_persons: int = 4,
+    seq_source: Optional[np.ndarray] = None,
+    **scene_kwargs,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batch of hard scenes for detector training/eval:
+    (images (B,S,S,3) f32, boxes (B,P,4), valid (B,P), kpts (B,P,17,2))."""
+    if seq_source is None:
+        ds = SyntheticPoseLiftDataset(num_samples=max(batch // 2, 4), seq_len=8,
+                                      anomaly_ratio=0.5, seed=int(rng.integers(1 << 30)))
+        seq_source = ds.poses.reshape(-1, 17, 2)
+    images = np.empty((batch, img_size, img_size, 3), np.float32)
+    boxes = np.zeros((batch, max_persons, 4), np.float32)
+    valid = np.zeros((batch, max_persons), bool)
+    kpts = np.zeros((batch, max_persons, 17, 2), np.float32)
+    for b in range(batch):
+        images[b], boxes[b], valid[b], kpts[b], _ = render_scene(
+            rng, img_size, img_size, max_persons, seq_source, **scene_kwargs)
+    return images, boxes, valid, kpts
+
+
 def render_pose_video(
     path: str,
     poses: np.ndarray,  # (T, 17, 2) canonical

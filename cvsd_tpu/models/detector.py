@@ -120,8 +120,12 @@ class Backbone(nn.Module):
 
 
 def _upsample2(x: jax.Array) -> jax.Array:
+    """2x nearest upsample as broadcast+reshape (identical to
+    jax.image.resize nearest, ~2 ms faster per 640/B=64 forward on v5e —
+    resize lowers to a gather; this is a pure relayout XLA fuses)."""
     B, H, W, C = x.shape
-    return jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+    return jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C)).reshape(
+        B, H * 2, W * 2, C)
 
 
 class PANNeck(nn.Module):
