@@ -27,6 +27,12 @@ def main(argv=None) -> None:
                    help="multiplex videos into shared detector batches")
     p.add_argument("--max_streams", type=int, default=8)
     p.add_argument("--threshold", type=float, default=None, help="flag events >= threshold")
+    p.add_argument("--annotations", type=str, default=None,
+                   help="temporal GT file (Temporal_Anomaly_Annotation_for_"
+                        "Testing_Videos.txt format): joins live scores against "
+                        "labels and prints video/event AUC with bootstrap CI")
+    p.add_argument("--aggregation", type=str, default="max",
+                   choices=["max", "mean", "percentile_95"])
     p.add_argument("--output", type=str, default=None)
     args = p.parse_args(argv)
 
@@ -55,6 +61,20 @@ def main(argv=None) -> None:
     print(f"{out['videos']} videos, {out['frames']} frames, "
           f"{out['fps']:.1f} fps, {out['videos_per_hour']:.1f} videos/hour, "
           f"{len(events)} scored windows")
+    if args.annotations:
+        from cvsd_tpu.data.ucf_crime import read_temporal_annotations
+        from cvsd_tpu.eval.streaming_eval import evaluate_streaming
+
+        res = evaluate_streaming(out["events"], read_temporal_annotations(args.annotations),
+                                 aggregation=args.aggregation,
+                                 include_eventless_videos=args.videos)
+        print(f"video AUC ({args.aggregation}): {res.video_auc:.4f} "
+              f"[95% CI {res.video_auc_ci[0]:.4f}, {res.video_auc_ci[1]:.4f}] "
+              f"over {res.n_videos} videos; event AUC: {res.event_auc:.4f} "
+              f"({res.n_events} windows)")
+        if res.unmatched_videos:
+            print(f"  unmatched (no GT): {res.unmatched_videos}")
+        result["streaming_eval"] = res.as_dict()
     if args.output:
         with open(args.output, "w") as f:
             json.dump(result, f, indent=2, default=float)

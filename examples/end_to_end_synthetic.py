@@ -23,9 +23,13 @@ import numpy as np
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--steps", type=int, default=800, help="detector training steps")
+    p.add_argument("--steps", type=int, default=1500, help="detector training steps")
     p.add_argument("--out", type=str, default="/tmp/e2e_synthetic")
     p.add_argument("--img_size", type=int, default=128)
+    p.add_argument("--test-videos", type=int, default=32,
+                   help="held-out videos (half normal, half anomalous)")
+    p.add_argument("--train-videos", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=25, help="shopformer epochs/stage")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -77,17 +81,18 @@ def main() -> None:
 
     poselift_dir = os.path.join(args.out, "PoseLift")
     T_VID = 72
+    n_train, n_half = args.train_videos, args.test_videos // 2
     train_videos = []
-    train_ds = SyntheticPoseLiftDataset(12, seq_len=T_VID, anomaly_ratio=0.0, seed=20)
-    for i in range(12):
+    train_ds = SyntheticPoseLiftDataset(n_train, seq_len=T_VID, anomaly_ratio=0.0, seed=20)
+    for i in range(n_train):
         p = os.path.join(args.out, f"train_{i}.mp4")
         render_pose_video(p, train_ds.poses[i], seed=200 + i)
         train_videos.append(p)
     test_videos, annotations, truth = [], {}, {}
-    norm = SyntheticPoseLiftDataset(4, seq_len=T_VID, anomaly_ratio=0.0, seed=30)
-    anom = SyntheticPoseLiftDataset(4, seq_len=T_VID, anomaly_ratio=1.0, seed=31)
+    norm = SyntheticPoseLiftDataset(n_half, seq_len=T_VID, anomaly_ratio=0.0, seed=30)
+    anom = SyntheticPoseLiftDataset(n_half, seq_len=T_VID, anomaly_ratio=1.0, seed=31)
     for kind, ds in (("normal", norm), ("anomalous", anom)):
-        for i in range(4):
+        for i in range(n_half):
             name = f"test_{kind}_{i}"
             p = os.path.join(args.out, f"{name}.mp4")
             render_pose_video(p, ds.poses[i], seed=300 + i)
@@ -103,7 +108,8 @@ def main() -> None:
     print("== training shopformer on extracted pose sequences ==")
     cfg["data"].update(dataset="poselift", data_dir=poselift_dir, batch_size=64, stride=6)
     cfg["model"]["hidden_channels"] = 16
-    cfg["training"].update(stage1_epochs=12, stage2_epochs=12, lr=1e-3)
+    cfg["training"].update(stage1_epochs=args.epochs, stage2_epochs=args.epochs, lr=1e-3,
+                           scan_epoch=True)
     cfg["experiment"]["checkpoint_dir"] = os.path.join(args.out, "shopformer")
     trainer = Trainer(cfg, verbose=False).setup()
     artifact = trainer.fit()
@@ -123,19 +129,24 @@ def main() -> None:
         name = os.path.basename(path)
         stem = os.path.splitext(name)[0]
         result[name] = {"label": truth[stem], **agg.get(name, {})}
-        print(f"  {name} (label={truth[stem]}): {agg.get(name)}")
-    # streaming-level AUC over per-video max scores
-    from cvsd_tpu.utils.metrics import compute_auc_roc
 
-    labels = [truth[os.path.splitext(n)[0]] for n in result]
-    maxes = [result[n].get("max", 0.0) for n in result]
-    stream_auc, _, _ = compute_auc_roc(labels, maxes)
-    print(f"  streaming video-level AUC (max agg): {stream_auc:.4f}")
+    # live GT-join evaluation (eval/streaming_eval.py): video AUC with
+    # bootstrap CI over the >=32 held-out videos + window-level event AUC
+    from cvsd_tpu.eval.streaming_eval import evaluate_streaming
+
+    res = evaluate_streaming(out["events"], list(annotations.values()),
+                             include_eventless_videos=test_videos)
+    print(f"  streaming video AUC (max agg): {res.video_auc:.4f} "
+          f"[95% CI {res.video_auc_ci[0]:.4f}, {res.video_auc_ci[1]:.4f}] "
+          f"over {res.n_videos} videos")
+    print(f"  streaming event (window) AUC: {res.event_auc:.4f} over {res.n_events} windows")
     print(f"  {out['frames']} frames at {out['fps']:.1f} fps, {len(out['events'])} scored windows")
     with open(os.path.join(args.out, "e2e_results.json"), "w") as f:
         json.dump({"videos": result, "frames": out["frames"], "fps": out["fps"],
                    "extracted_pose_auc": artifact["test_metrics"]["auc_roc"],
-                   "streaming_video_auc": stream_auc}, f, indent=2)
+                   "video_metrics": {k: v["auc_roc"] for k, v in
+                                     (artifact["video_metrics"] or {}).items()},
+                   "streaming": res.as_dict()}, f, indent=2)
 
 
 if __name__ == "__main__":

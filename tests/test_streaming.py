@@ -73,3 +73,22 @@ def test_stream_videos_concurrent_matches_sequential(streaming, tmp_path_factory
     seq_scores = {key(e): e.score for e in seq_events}
     for e in out["events"]:
         assert abs(seq_scores[key(e)] - e.score) < 1e-4
+
+
+def test_streaming_events_join_with_annotations(streaming):
+    """Live pipeline -> evaluate_streaming GT join (the cli.stream
+    --annotations path): events group by video, AUC computed over videos."""
+    from cvsd_tpu.data.ucf_crime import TemporalAnnotation
+    from cvsd_tpu.eval.streaming_eval import evaluate_streaming
+
+    pipe, video = streaming
+    events = list(pipe.stream_video(video))
+    anns = [TemporalAnnotation("v.mp4", "Shoplifting", [(1, 30)]),
+            TemporalAnnotation("other.mp4", "Normal", [])]
+    res = evaluate_streaming(events, anns, n_boot=10,
+                             include_eventless_videos=["other.mp4"])
+    assert res.n_videos == 2
+    assert res.per_video["v"]["label"] == 1 and res.per_video["other"]["label"] == 0
+    # single anomalous video with events scores above the eventless normal
+    assert res.video_auc == 1.0
+    assert res.n_events == len(events)
