@@ -26,7 +26,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from cvsd_tpu.models.detector import STRIDES, PersonDetector, decode_predictions
+from cvsd_tpu.models.detector import (
+    STRIDES,
+    PersonDetector,
+    decode_predictions,
+    decode_predictions_v8,
+)
 from cvsd_tpu.ops.iou import box_iou_matrix
 
 
@@ -85,12 +90,27 @@ def detection_loss(
     num_keypoints: int = 0,
     kpt_weight: float = 0.05,
     obj_pos_weight: float = 1.0,
+    head_variant: str = "anchor_free",
+    num_classes: int = 80,
+    reg_max: int = 16,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total loss + components from raw head maps (objectness BCE + IoU box
-    loss + optional keypoint regression for the pose head)."""
-    pred_boxes, _scores, pred_kpts = decode_predictions(raw, img_size, num_keypoints)
+    loss + optional keypoint regression for the pose head).
+
+    head_variant='v8dfl' trains/fine-tunes the ultralytics-u compatible head
+    (e.g. after utils/yolo_import): the person-class logit plays the
+    objectness role and the box loss flows through the differentiable DFL
+    softmax-expectation decode."""
+    if head_variant == "v8dfl":
+        pred_boxes, _scores, pred_kpts = decode_predictions_v8(
+            raw, num_classes, reg_max, num_keypoints)
+        obj_ch = 4 * reg_max  # person class logit (class_idx 0)
+    else:
+        pred_boxes, _scores, pred_kpts = decode_predictions(raw, img_size, num_keypoints)
+        obj_ch = 4
     obj_logits = jnp.concatenate(
-        [raw[k].astype(jnp.float32)[..., 4].reshape(raw[k].shape[0], -1) for k in ("p3", "p4", "p5")],
+        [raw[k].astype(jnp.float32)[..., obj_ch].reshape(raw[k].shape[0], -1)
+         for k in ("p3", "p4", "p5")],
         axis=1,
     )  # (B, A)
     pos, target, gt_idx = assign_targets(gt_boxes, gt_valid, centers, strides)
@@ -153,6 +173,8 @@ class DetectorTrainer:
                     raw, gt_boxes, gt_valid, size, centers, strides,
                     gt_kpts=gt_kpts, num_keypoints=model.num_keypoints,
                     obj_pos_weight=self.obj_pos_weight, kpt_weight=self.kpt_weight,
+                    head_variant=model.head_variant, num_classes=model.num_classes,
+                    reg_max=model.reg_max,
                 )
                 return loss, (updates["batch_stats"], aux)
 
@@ -188,7 +210,10 @@ class DetectorTrainer:
                 loss, aux = detection_loss(raw, gb, gv, size, centers, strides,
                                            gt_kpts=gk if model.num_keypoints else None,
                                            num_keypoints=model.num_keypoints,
-                                           obj_pos_weight=pos_w, kpt_weight=kpt_w)
+                                           obj_pos_weight=pos_w, kpt_weight=kpt_w,
+                                           head_variant=model.head_variant,
+                                           num_classes=model.num_classes,
+                                           reg_max=model.reg_max)
                 return loss, (updates["batch_stats"], aux)
 
             (loss, (new_bs, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
