@@ -23,3 +23,58 @@ def test_detection_on_mesh_matches_single_device(rng):
     out_m = sharded.detect_frames(frames)
     for a, b in zip(out_s, out_m):
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_detector_training_on_mesh_matches_single_device(rng):
+    """DP detector training: params after N steps match the single-device
+    trajectory (same data, batch sharded over the 8-device data axis)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvsd_tpu.models.detector import PersonDetector
+    from cvsd_tpu.train.detector_train import DetectorTrainer, synthetic_detection_batch
+
+    model = PersonDetector(img_size=64, width_mult=0.25, depth_mult=0.34,
+                           dtype=jnp.float32)
+    cfg = get_default_config()
+    mc = MeshConfig.from_config(cfg)
+    single = DetectorTrainer(model, lr=1e-3, seed=0)
+    dp = DetectorTrainer(model, lr=1e-3, seed=0, mesh_config=mc)
+
+    data = [synthetic_detection_batch(np.random.default_rng(i), 8, 64, max_gt=2)
+            for i in range(3)]
+    for images, boxes, valid in data:
+        m_s = single.train_step(images, boxes, valid)
+        m_d = dp.train_step(images, boxes, valid)
+        # sharded reductions reorder f32 sums; adam amplifies near-zero-grad
+        # differences by ~lr per step, so equality is loss-level + coarse params
+        np.testing.assert_allclose(m_s["loss"], m_d["loss"], rtol=1e-3)
+    flat_s = jax.tree_util.tree_leaves(single.variables["params"])
+    flat_d = jax.tree_util.tree_leaves(dp.variables["params"])
+    for a, b in zip(flat_s, flat_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_detector_scan_training_on_mesh(rng):
+    """train_steps_scan under the mesh: scan axis stays unsharded, per-batch
+    dim sharded; loss curve matches the single-device scan."""
+    import jax.numpy as jnp
+
+    from cvsd_tpu.models.detector import PersonDetector
+    from cvsd_tpu.train.detector_train import DetectorTrainer, synthetic_detection_batch
+
+    model = PersonDetector(img_size=64, width_mult=0.25, depth_mult=0.34,
+                           dtype=jnp.float32)
+    cfg = get_default_config()
+    mc = MeshConfig.from_config(cfg)
+    single = DetectorTrainer(model, lr=1e-3, seed=0)
+    dp = DetectorTrainer(model, lr=1e-3, seed=0, mesh_config=mc)
+
+    data = [synthetic_detection_batch(np.random.default_rng(i), 8, 64, max_gt=2)
+            for i in range(4)]
+    images = np.stack([d[0] for d in data])
+    boxes = np.stack([d[1] for d in data])
+    valid = np.stack([d[2] for d in data])
+    out_s = single.train_steps_scan(images, boxes, valid)
+    out_d = dp.train_steps_scan(images, boxes, valid)
+    np.testing.assert_allclose(out_s["losses"], out_d["losses"], rtol=5e-3)
