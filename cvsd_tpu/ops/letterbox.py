@@ -8,6 +8,13 @@ detector: aspect-preserving resize to the target square, gray padding, and
 uint8 -> [0,1] compute-dtype conversion, all fused by XLA (the resize lowers
 to gathers/convs; the scale/pad geometry is static per source resolution so
 nothing is data-dependent).
+
+A hand-written Pallas letterbox was tried in round 1 and removed in round 2:
+the NHWC frame layout puts C=3 on the 128-lane dimension, so any per-image
+block tiles at <3% lane occupancy and Mosaic compiles the big blocks
+pathologically; meanwhile the whole letterbox is ~1-2 ms of a 50-90 ms
+detect program that XLA already fuses. The Pallas budget is spent where it
+wins instead (ops/nms.py fixpoint kernel, the production default).
 """
 
 from __future__ import annotations
@@ -17,8 +24,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 PAD_VALUE = 114  # ultralytics' gray padding
 
@@ -51,59 +56,6 @@ def letterbox_batch(
         constant_values=float(PAD_VALUE),
     )
     return (x * (1.0 / 255.0)).astype(dtype)
-
-
-def _letterbox_int_kernel(frames_ref, out_ref, *, k: int, pad_x: int, pad_y: int,
-                          size: int, new_h: int, new_w: int, dtype):
-    """Fused uint8 -> [0,1] dtype letterbox for integer upscale factor k.
-    One (batch, channel) plane per grid step: load (H, W) uint8, normalize,
-    k-x replicate along both axes (pltpu.repeat), write into the padded
-    canvas. No f32 intermediate, no gather — pure VPU + layout ops."""
-    # Mosaic has no direct uint8->f32 cast; hop through int32
-    x = frames_ref[0].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)  # (H, W, C)
-    if k > 1:
-        # element-wise k-x replication (pltpu.repeat tiles whole arrays, so
-        # use jnp.repeat -> broadcast+reshape, which Mosaic lowers natively)
-        x = jnp.repeat(jnp.repeat(x, k, axis=0), k, axis=1)
-    C = x.shape[-1]
-    out_ref[0] = jnp.full((size, size, C), PAD_VALUE / 255.0, jnp.float32).astype(dtype)
-    out_ref[0, pad_y : pad_y + new_h, pad_x : pad_x + new_w, :] = x.astype(dtype)
-
-
-def letterbox_batch_pallas(
-    frames: jnp.ndarray,  # (B, H, W, 3) uint8
-    size: int = 640,
-    dtype: jnp.dtype = jnp.bfloat16,
-    interpret: bool | None = None,
-) -> jnp.ndarray:
-    """Pallas letterbox for sources whose fit scale is an exact integer
-    (e.g. 320x240 -> 640: k=2). Nearest-neighbor replication — for k-x
-    upscale of 8-bit video this is visually identical to bilinear at the
-    detector's scale. Falls back to `letterbox_batch` for non-integer scales.
-
-    EXPERIMENTAL: validated in interpret mode; on current Mosaic the big
-    (H, W, C)-block layout compiles pathologically slowly, so the default
-    pipeline uses the XLA letterbox (which fuses fine) until that's fixed.
-    """
-    B, H, W, C = frames.shape
-    scale, pad_x, pad_y, new_w, new_h = letterbox_params(H, W, size)
-    k = int(round(scale))
-    if abs(scale - k) > 1e-9 or k < 1:
-        return letterbox_batch(frames, size=size, dtype=dtype)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    kernel = functools.partial(
-        _letterbox_int_kernel, k=k, pad_x=pad_x, pad_y=pad_y,
-        size=size, new_h=new_h, new_w=new_w, dtype=dtype,
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, size, size, C), lambda b: (b, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, size, size, C), dtype),
-        interpret=interpret,
-    )(frames)
 
 
 def unletterbox_boxes(
