@@ -40,7 +40,9 @@ def main() -> None:
     from cvsd_tpu.pipeline.preprocess import DetectionPipeline
 
     backend = jax.default_backend()
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    # B=128 amortizes per-batch relay latency and keeps the MXU fuller than 64
+    # (PROFILE.md batch-scaling table); override with BENCH_BATCH
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     src_h, src_w = 240, 320  # UCF-Crime clip resolution
 

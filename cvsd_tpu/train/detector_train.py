@@ -153,15 +153,22 @@ class DetectorTrainer:
 
     def __init__(self, model: PersonDetector, lr: float = 1e-3, seed: int = 0,
                  obj_pos_weight: float = 3.0, kpt_weight: float = 0.05,
-                 mesh_config=None):
+                 mesh_config=None, total_steps: int = 0, warmup_steps: int = 0,
+                 ema_decay: float = 0.0):
         self.obj_pos_weight = float(obj_pos_weight)
         self.kpt_weight = float(kpt_weight)
         self.model = model
         self.mesh_config = mesh_config
+        self.ema_decay = float(ema_decay)
         self.variables = model.init_variables(jax.random.PRNGKey(seed))
         centers, strides = anchor_centers(model.img_size)
         self._centers = jnp.asarray(centers)
         self._strides = jnp.asarray(strides)
+        if total_steps:
+            # warmup + cosine decay to 1% — flat Adam never converges the
+            # keypoint regression tightly; the tail LR is what cuts kpt RMS
+            lr = optax.warmup_cosine_decay_schedule(
+                0.0, lr, max(int(warmup_steps), 1), int(total_steps), end_value=lr * 0.01)
         self.opt = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(lr))
         self.opt_state = self.opt.init(self.variables["params"])
         if mesh_config is not None:
@@ -169,7 +176,24 @@ class DetectorTrainer:
 
             self.variables = replicate(mesh_config.mesh, self.variables)
             self.opt_state = replicate(mesh_config.mesh, self.opt_state)
+        # EMA of weights (YOLO-standard): stabilizes the box/keypoint heads;
+        # eval with `ema_variables`. Ramped decay min(d, (1+t)/(10+t)).
+        self.ema_params = jax.tree_util.tree_map(lambda x: x, self.variables["params"]) \
+            if self.ema_decay > 0 else None
+        self._ema_t = 0
+        self._ema_step_fn = jax.jit(self._ema_update) if self.ema_decay > 0 else None
         self._step = jax.jit(self._make_step())
+
+    @property
+    def ema_variables(self):
+        """Variables with EMA weights (falls back to raw when EMA is off)."""
+        if self.ema_params is None:
+            return self.variables
+        return {"params": self.ema_params, "batch_stats": self.variables["batch_stats"]}
+
+    def _ema_update(self, ema, params, t):
+        d = jnp.minimum(self.ema_decay, (1.0 + t) / (10.0 + t))
+        return jax.tree_util.tree_map(lambda e, p: e * d + p * (1.0 - d), ema, params)
 
     def _shard(self, tree):
         """Place batch arrays: sharded over the data axis under a mesh."""
@@ -220,8 +244,10 @@ class DetectorTrainer:
         if gt_kpts is None:
             gt_kpts = np.zeros((*gt_boxes.shape[:3], max(model.num_keypoints, 1), 2), np.float32)
 
+        ema_decay = self.ema_decay
+
         def one(carry, batch):
-            params, batch_stats, opt_state = carry
+            params, batch_stats, opt_state, ema, t = carry
             imgs, gb, gv, gk = batch
 
             def loss_fn(p, bs):
@@ -240,14 +266,17 @@ class DetectorTrainer:
                 params, batch_stats)
             updates, new_opt = opt.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
-            return (new_params, new_bs, new_opt), loss
+            if ema_decay > 0:
+                ema = self._ema_update(ema, new_params, t)
+            return (new_params, new_bs, new_opt, ema, t + 1.0), loss
 
         @jax.jit
-        def run(params, batch_stats, opt_state, images, gt_boxes, gt_valid, gt_kpts):
-            (p, bs, os_), losses = jax.lax.scan(
-                one, (params, batch_stats, opt_state), (images, gt_boxes, gt_valid, gt_kpts)
+        def run(params, batch_stats, opt_state, ema, t0, images, gt_boxes, gt_valid, gt_kpts):
+            (p, bs, os_, ema, t), losses = jax.lax.scan(
+                one, (params, batch_stats, opt_state, ema, t0),
+                (images, gt_boxes, gt_valid, gt_kpts)
             )
-            return p, bs, os_, losses
+            return p, bs, os_, ema, t, losses
 
         batch = (np.asarray(images, np.float32), np.asarray(gt_boxes, np.float32),
                  np.asarray(gt_valid), np.asarray(gt_kpts, np.float32))
@@ -263,11 +292,16 @@ class DetectorTrainer:
             )
         else:
             batch = tuple(jnp.asarray(x) for x in batch)
-        p, bs, self.opt_state, losses = run(
-            self.variables["params"], self.variables["batch_stats"], self.opt_state, *batch,
+        ema_in = self.ema_params if self.ema_params is not None else self.variables["params"]
+        p, bs, self.opt_state, ema, t, losses = run(
+            self.variables["params"], self.variables["batch_stats"], self.opt_state,
+            ema_in, jnp.float32(self._ema_t), *batch,
         )
         losses = np.asarray(jax.device_get(losses))
         self.variables = {"params": jax.device_get(p), "batch_stats": jax.device_get(bs)}
+        if self.ema_params is not None:
+            self.ema_params = jax.device_get(ema)
+            self._ema_t += losses.shape[0]
         return {"losses": losses}
 
     def train_step(self, images: np.ndarray, gt_boxes: np.ndarray, gt_valid: np.ndarray,
@@ -284,6 +318,10 @@ class DetectorTrainer:
             batch["gt_valid"], batch.get("gt_kpts"),
         )
         self.variables = {"params": p, "batch_stats": bs}
+        if self.ema_params is not None:
+            self.ema_params = self._ema_step_fn(
+                self.ema_params, p, jnp.float32(self._ema_t))
+            self._ema_t += 1
         return {"loss": float(loss), **{k: float(v) for k, v in aux.items()}}
 
 

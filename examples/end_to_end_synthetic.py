@@ -23,7 +23,7 @@ import numpy as np
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--steps", type=int, default=1500, help="detector training steps")
+    p.add_argument("--steps", type=int, default=3000, help="detector training steps")
     p.add_argument("--out", type=str, default="/tmp/e2e_synthetic")
     p.add_argument("--img_size", type=int, default=128)
     p.add_argument("--test-videos", type=int, default=32,
@@ -52,7 +52,8 @@ def main() -> None:
     print(f"== training detector + pose head on rendered skeletons ({args.steps} steps) ==")
     det_model = PersonDetector(img_size=args.img_size, width_mult=0.25, depth_mult=0.34,
                                num_keypoints=17, dtype=jnp.float32)
-    det_trainer = DetectorTrainer(det_model, lr=2e-3, kpt_weight=0.3)
+    det_trainer = DetectorTrainer(det_model, lr=2e-3, kpt_weight=0.3,
+                                  total_steps=args.steps, warmup_steps=100)
     chunk = 200
     done = 0
     while done < args.steps:
@@ -63,7 +64,20 @@ def main() -> None:
             np.stack([d[2] for d in data]), np.stack([d[3] for d in data]),
         )
         done += n
-        print(f"  steps {done}: loss {out['losses'][0]:.2f} -> {out['losses'][-1]:.2f}")
+        print(f"  steps {done}: loss {out['losses'][0]:.2f} -> {out['losses'][-1]:.2f}",
+              flush=True)
+
+    # pose-head quality gate: keypoint RMS on held-out rendered frames —
+    # this is the number that bounds downstream anomaly-score separability
+    from cvsd_tpu.eval.detection import evaluate_detector
+    from cvsd_tpu.models.detector import make_detect_fn
+
+    ev = rendered_detection_batch(np.random.default_rng(9999), 64, args.img_size)
+    det_eval = evaluate_detector(
+        make_detect_fn(det_model, conf_thresh=0.25, iou_thresh=0.45, max_detections=4),
+        det_trainer.variables, *ev)
+    print(f"  held-out AP@50 {det_eval['ap']:.3f}, keypoints {det_eval.get('keypoints')}",
+          flush=True)
 
     # 2. render videos and EXTRACT a PoseLift dataset with the trained pose
     #    head — the Shopformer then trains on the same pose distribution it
