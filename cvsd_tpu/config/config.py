@@ -143,6 +143,7 @@ def get_default_config() -> Config:
                 "nms_method": "pallas_fixpoint",  # | fixpoint | pallas_seq | xla
                 "person_class_only": True,
                 "pose_head": False,
+                "tta_flip": False,  # horizontal-flip TTA (2x fwd, ~sqrt(2) less kpt noise)
             },
             "parallel": {
                 "mesh_shape": None,  # None -> (num_devices,) 1-D data mesh

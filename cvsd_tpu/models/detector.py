@@ -332,6 +332,22 @@ def decode_raw(model: "PersonDetector", raw: Dict[str, jax.Array]):
     return decode_predictions(raw, model.img_size, model.num_keypoints)
 
 
+def flip_anchor_permutation(h: int, w: int) -> "np.ndarray":
+    """Flat anchor permutation pairing every FPN anchor with its horizontal
+    mirror: level (H,W) index y*W+x <-> y*W+(W-1-x). Applying it to the decode
+    of a flipped image aligns each anchor with the one seeing the mirrored
+    content, enabling exact per-anchor TTA averaging (no detection matching)."""
+    import numpy as np
+
+    parts, offset = [], 0
+    for stride in STRIDES:
+        H, W = h // stride, w // stride
+        y, x = np.mgrid[0:H, 0:W]
+        parts.append(offset + (y * W + (W - 1 - x)).reshape(-1))
+        offset += H * W
+    return np.concatenate(parts)
+
+
 def make_detect_fn(
     model: PersonDetector,
     conf_thresh: float = 0.25,
@@ -339,15 +355,44 @@ def make_detect_fn(
     max_detections: int = 128,
     use_pallas: bool | None = None,
     nms_method: str | None = None,
+    tta_flip: bool = False,
 ):
     """Build the fused jittable detect function:
     (variables, images) -> (boxes (B,M,4) xyxy, scores (B,M), valid (B,M)).
     Keypoints, when enabled, are gathered for the kept detections.
-    nms_method: see ops.nms.batched_nms (default: fused Pallas fixpoint)."""
+    nms_method: see ops.nms.batched_nms (default: fused Pallas fixpoint).
+
+    tta_flip: horizontal-flip test-time averaging, fully on-device — one 2B
+    forward, then per-anchor averaging of the mirrored decode (static anchor
+    permutation + x -> S-x + COCO left/right keypoint swap). Halves the
+    variance of box/keypoint regression at 2x forward cost; the pose-head
+    noise reduction directly tightens downstream anomaly scores."""
+
+    def decode_with_tta(variables, images):
+        if not tta_flip:
+            raw = model.apply(variables, images, train=False)
+            return decode_raw(model, raw)
+        from cvsd_tpu.data.augment import flip_permutation
+
+        B, _, S = images.shape[0], images.shape[1], images.shape[2]
+        both = jnp.concatenate([images, images[:, :, ::-1, :]], axis=0)
+        raw = model.apply(variables, both, train=False)
+        boxes2, scores2, kpts2 = decode_raw(model, raw)
+        perm = jnp.asarray(flip_anchor_permutation(int(images.shape[1]), int(S)))
+        fb = boxes2[B:][:, perm]
+        fb = jnp.stack([S - fb[..., 2], fb[..., 1], S - fb[..., 0], fb[..., 3]], -1)
+        boxes = 0.5 * (boxes2[:B] + fb)
+        scores = 0.5 * (scores2[:B] + scores2[B:][:, perm])
+        kpts = None
+        if kpts2 is not None:
+            kperm = jnp.asarray(flip_permutation(model.num_keypoints))
+            fk = kpts2[B:][:, perm][:, :, kperm]
+            fk = jnp.stack([S - fk[..., 0], fk[..., 1], fk[..., 2]], -1)
+            kpts = 0.5 * (kpts2[:B] + fk)
+        return boxes, scores, kpts
 
     def detect(variables, images):
-        raw = model.apply(variables, images, train=False)
-        boxes, scores, kpts = decode_raw(model, raw)
+        boxes, scores, kpts = decode_with_tta(variables, images)
         out_boxes, out_scores, valid, anchor_idx = batched_nms(
             boxes, scores, conf_thresh, iou_thresh, max_detections,
             use_pallas=use_pallas, method=nms_method,

@@ -67,9 +67,13 @@ class DetectionPipeline:
             nms_method = str(d.get("nms_method", "pallas_fixpoint"))
         else:
             nms_method = "pallas_fixpoint" if use_pallas else "xla"
+        # flip-TTA: per-anchor mirrored-decode averaging (2x forward) — cuts
+        # keypoint regression noise ~sqrt(2); worth it when pose fidelity
+        # drives downstream anomaly scores
+        self.tta_flip = bool(d.get("tta_flip", False))
         self._full_fns: Dict[Tuple[int, int], Any] = {}
         self._detect = make_detect_fn(self.model, self.conf, self.iou, self.max_det,
-                                      nms_method=nms_method)
+                                      nms_method=nms_method, tta_flip=self.tta_flip)
         if self.mesh_config is not None:
             mult = int(self.mesh_config.mesh.shape[self.mesh_config.batch_axis])
             if self.batch_size % mult:

@@ -53,7 +53,8 @@ def main() -> None:
     det_model = PersonDetector(img_size=args.img_size, width_mult=0.25, depth_mult=0.34,
                                num_keypoints=17, dtype=jnp.float32)
     det_trainer = DetectorTrainer(det_model, lr=2e-3, kpt_weight=0.3,
-                                  total_steps=args.steps, warmup_steps=100)
+                                  total_steps=args.steps, warmup_steps=100,
+                                  ema_decay=0.998)
     chunk = 200
     done = 0
     while done < args.steps:
@@ -73,11 +74,13 @@ def main() -> None:
     from cvsd_tpu.models.detector import make_detect_fn
 
     ev = rendered_detection_batch(np.random.default_rng(9999), 64, args.img_size)
-    det_eval = evaluate_detector(
-        make_detect_fn(det_model, conf_thresh=0.25, iou_thresh=0.45, max_detections=4),
-        det_trainer.variables, *ev)
-    print(f"  held-out AP@50 {det_eval['ap']:.3f}, keypoints {det_eval.get('keypoints')}",
-          flush=True)
+    for label, tta in (("raw", False), ("ema+tta", True)):
+        det_eval = evaluate_detector(
+            make_detect_fn(det_model, conf_thresh=0.25, iou_thresh=0.45,
+                           max_detections=4, tta_flip=tta),
+            det_trainer.ema_variables if tta else det_trainer.variables, *ev)
+        print(f"  held-out [{label}] AP@50 {det_eval['ap']:.3f}, "
+              f"keypoints {det_eval.get('keypoints')}", flush=True)
 
     # 2. render videos and EXTRACT a PoseLift dataset with the trained pose
     #    head — the Shopformer then trains on the same pose distribution it
@@ -90,8 +93,8 @@ def main() -> None:
     cfg = get_default_config()
     cfg["detector"].update(img_size=args.img_size, width_mult=0.25, depth_mult=0.34,
                            batch_size=16, conf_threshold=0.3, max_detections=4,
-                           dtype="float32", pose_head=True)
-    det_pipeline = DetectionPipeline(cfg, variables=det_trainer.variables)
+                           dtype="float32", pose_head=True, tta_flip=True)
+    det_pipeline = DetectionPipeline(cfg, variables=det_trainer.ema_variables)
 
     poselift_dir = os.path.join(args.out, "PoseLift")
     T_VID = 72
@@ -135,7 +138,7 @@ def main() -> None:
     model = build_shopformer(cfg)
     variables = {"params": trainer._params, "batch_stats": trainer._batch_stats}
     scorer = ShopformerScorer(model, variables, cfg)
-    pipe = StreamingPipeline(cfg, scorer, detector_variables=det_trainer.variables)
+    pipe = StreamingPipeline(cfg, scorer, detector_variables=det_trainer.ema_variables)
     out = pipe.stream_videos_concurrent(test_videos, max_streams=8)
     agg = pipe.aggregate_events(out["events"])
     result = {}
@@ -148,11 +151,14 @@ def main() -> None:
     # bootstrap CI over the >=32 held-out videos + window-level event AUC
     from cvsd_tpu.eval.streaming_eval import evaluate_streaming
 
-    res = evaluate_streaming(out["events"], list(annotations.values()),
-                             include_eventless_videos=test_videos)
-    print(f"  streaming video AUC (max agg): {res.video_auc:.4f} "
-          f"[95% CI {res.video_auc_ci[0]:.4f}, {res.video_auc_ci[1]:.4f}] "
-          f"over {res.n_videos} videos")
+    streaming = {}
+    for agg in ("max", "mean"):
+        res = evaluate_streaming(out["events"], list(annotations.values()),
+                                 include_eventless_videos=test_videos, aggregation=agg)
+        streaming[agg] = res.as_dict()
+        print(f"  streaming video AUC ({agg} agg): {res.video_auc:.4f} "
+              f"[95% CI {res.video_auc_ci[0]:.4f}, {res.video_auc_ci[1]:.4f}] "
+              f"over {res.n_videos} videos")
     print(f"  streaming event (window) AUC: {res.event_auc:.4f} over {res.n_events} windows")
     print(f"  {out['frames']} frames at {out['fps']:.1f} fps, {len(out['events'])} scored windows")
     with open(os.path.join(args.out, "e2e_results.json"), "w") as f:
@@ -160,7 +166,7 @@ def main() -> None:
                    "extracted_pose_auc": artifact["test_metrics"]["auc_roc"],
                    "video_metrics": {k: v["auc_roc"] for k, v in
                                      (artifact["video_metrics"] or {}).items()},
-                   "streaming": res.as_dict()}, f, indent=2)
+                   "streaming": streaming}, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -280,3 +280,49 @@ def test_detector_pose_head():
     images = jnp.zeros((1, 64, 64, 3), jnp.float32)
     out_boxes, out_scores, valid, kpts = detect(variables, images)
     assert kpts.shape == (1, 8, 17, 3)
+
+
+def test_flip_anchor_permutation_mirrors_centers():
+    from cvsd_tpu.models.detector import flip_anchor_permutation
+    from cvsd_tpu.train.detector_train import anchor_centers
+
+    S = 64
+    centers, strides = anchor_centers(S)
+    perm = flip_anchor_permutation(S, S)
+    # the permuted partner sees the horizontally mirrored location
+    np.testing.assert_allclose(centers[perm, 0], S - centers[:, 0], atol=1e-5)
+    np.testing.assert_allclose(centers[perm, 1], centers[:, 1], atol=1e-5)
+    np.testing.assert_array_equal(strides[perm], strides)
+    assert (perm[perm] == np.arange(len(perm))).all()  # involution
+
+
+def test_tta_flip_detect_is_mirror_equivariant():
+    """detect(tta_flip=True) on [img, flip(img)] returns mirrored results for
+    the two rows — exact by construction for ANY weights, so random init
+    suffices. Covers the anchor permutation, x -> S-x unflip and the COCO
+    left/right keypoint swap end-to-end through NMS."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvsd_tpu.data.augment import flip_permutation
+    from cvsd_tpu.models.detector import PersonDetector, make_detect_fn
+
+    S = 64
+    model = PersonDetector(img_size=S, width_mult=0.25, depth_mult=0.34,
+                           num_keypoints=5, dtype=jnp.float32)
+    variables = model.init_variables(jax.random.PRNGKey(3))
+    img = jax.random.uniform(jax.random.PRNGKey(4), (1, S, S, 3))
+    batch = jnp.concatenate([img, img[:, :, ::-1, :]], axis=0)
+    detect = make_detect_fn(model, conf_thresh=0.0, iou_thresh=0.45,
+                            max_detections=8, use_pallas=False, tta_flip=True)
+    boxes, scores, valid, kpts = detect(variables, batch)
+    b0, b1 = np.asarray(boxes[0]), np.asarray(boxes[1])
+    np.testing.assert_allclose(np.asarray(scores[0]), np.asarray(scores[1]), atol=1e-4)
+    keep = np.asarray(valid[0])
+    np.testing.assert_allclose(b1[keep, 0], S - b0[keep, 2], atol=1e-2)
+    np.testing.assert_allclose(b1[keep, 2], S - b0[keep, 0], atol=1e-2)
+    np.testing.assert_allclose(b1[keep, 1], b0[keep, 1], atol=1e-2)
+    kperm = flip_permutation(5)
+    k0, k1 = np.asarray(kpts[0]), np.asarray(kpts[1])
+    np.testing.assert_allclose(k1[keep][:, kperm, 0], S - k0[keep][:, :, 0], atol=1e-2)
+    np.testing.assert_allclose(k1[keep][:, kperm, 1], k0[keep][:, :, 1], atol=1e-2)
