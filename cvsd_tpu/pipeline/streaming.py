@@ -88,6 +88,7 @@ class StreamingPipeline:
         self.num_keypoints = int(m.get("num_keypoints", 18))
         self.stride = int(scorer.config.get("data", {}).get("stride", self.seq_len // 2))
         self.score_batch = int(scorer.config.get("data", {}).get("batch_size", 32))
+        self._stage_seconds = {"read": 0.0, "detect": 0.0, "track": 0.0, "score": 0.0}
 
     def _prepare_window(self, window: np.ndarray) -> np.ndarray:
         """(T, 17, 2) detector keypoints -> normalized (T, V, C) model input
@@ -162,6 +163,7 @@ class StreamingPipeline:
         from cvsd_tpu.data.video import video_info
 
         t0 = time.perf_counter()
+        self._stage_seconds = {"read": 0.0, "detect": 0.0, "track": 0.0, "score": 0.0}
         groups: Dict[Tuple[int, int], List[str]] = {}
         for p in video_paths:
             try:
@@ -180,6 +182,7 @@ class StreamingPipeline:
             "events": events, "videos": len(video_paths), "frames": n_frames,
             "seconds": dt, "fps": n_frames / dt if dt > 0 else 0.0,
             "videos_per_hour": len(video_paths) / dt * 3600 if dt > 0 else 0.0,
+            "stage_seconds": dict(self._stage_seconds),
         }
 
     def _stream_group(
@@ -193,6 +196,9 @@ class StreamingPipeline:
         size = self.detection._canvas_size(*resolution)
         active: Dict[str, Dict[str, Any]] = {}
         n_frames = 0
+        # per-stage wall-clock breakdown (read/detect/track/score), exposed in
+        # the stream_videos_concurrent result for throughput diagnosis
+        stage = self._stage_seconds
 
         def open_next() -> bool:
             while queue:
@@ -219,6 +225,7 @@ class StreamingPipeline:
         finished: Dict[str, Dict[str, Any]] = {}  # EOF'd mid-batch: state kept
         #                                            until this batch is processed
         while active:
+            t0 = time.perf_counter()
             h, w = resolution
             frames = np.zeros((B, h, w, 3), np.uint8)
             meta: List[Optional[Tuple[str, int, float]]] = [None] * B
@@ -251,9 +258,13 @@ class StreamingPipeline:
                 n_frames += 1
             if k == 0:
                 break
+            t1 = time.perf_counter()
+            stage["read"] += t1 - t0
             outs = self.detection.detect_frames(frames)
             boxes_src, _xywhn, scores, valid = outs[:4]
             kpts = outs[4] if len(outs) > 4 else None
+            t2 = time.perf_counter()
+            stage["detect"] += t2 - t1
             for b in range(k):
                 path, frame_no, stamp = meta[b]
                 st = active.get(path) or finished.get(path)
@@ -275,12 +286,17 @@ class StreamingPipeline:
                         pending.append({"track_id": track_id, **done})
                         pending_video.append(st["name"])
             finished.clear()
+            stage["track"] += time.perf_counter() - t2
+            t3 = time.perf_counter()
             while len(pending) >= self.score_batch:
                 chunk, pv = pending[: self.score_batch], pending_video[: self.score_batch]
                 events.extend(self._score_pending_multi(chunk, pv))
                 pending, pending_video = pending[self.score_batch :], pending_video[self.score_batch :]
+            stage["score"] += time.perf_counter() - t3
         if pending:
+            t3 = time.perf_counter()
             events.extend(self._score_pending_multi(pending, pending_video))
+            stage["score"] += time.perf_counter() - t3
         return events, n_frames
 
     def _score_pending_multi(self, pending: List[Dict[str, Any]], videos: List[str]) -> List[ScoreEvent]:
