@@ -125,6 +125,24 @@ class DetectionPipeline:
         # relay round-trip (~27 ms); batching them is 5x fewer round-trips
         return tuple(np.asarray(o) for o in jax.device_get(out))
 
+    def detect_frames_async(self, frames: np.ndarray):
+        """Dispatch detection and return DEVICE arrays immediately (no host
+        sync) — pair with `fetch_detections` later so the device/relay round
+        trip overlaps host work on the previous batch (software pipelining)."""
+        B, H, W, _ = frames.shape
+        if self.mesh_config is not None:
+            frames_dev = jax.device_put(
+                frames, batch_sharding(self.mesh_config.mesh, 4, self.mesh_config.batch_axis)
+            )
+        else:
+            frames_dev = jnp.asarray(frames)
+        return self._full_fn(H, W)(self.variables, frames_dev)
+
+    @staticmethod
+    def fetch_detections(out):
+        """Resolve a detect_frames_async result to host numpy."""
+        return tuple(np.asarray(o) for o in jax.device_get(out))
+
 
 def _write_rows(csv_path: str, rows: List[BBox], clip: int, name: str,
                 is_anomaly: bool, label: str) -> None:

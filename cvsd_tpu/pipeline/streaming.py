@@ -222,13 +222,15 @@ class StreamingPipeline:
 
         pending: List[Dict[str, Any]] = []
         pending_video: List[str] = []
-        finished: Dict[str, Dict[str, Any]] = {}  # EOF'd mid-batch: state kept
-        #                                            until this batch is processed
-        while active:
-            t0 = time.perf_counter()
+
+        def read_batch() -> Tuple[np.ndarray, List, int]:
+            """Fill one detector batch round-robin across the live streams.
+            meta rows carry the stream-state dict itself, so EOF'd streams
+            stay processable even after leaving `active`."""
+            nonlocal n_frames
             h, w = resolution
             frames = np.zeros((B, h, w, 3), np.uint8)
-            meta: List[Optional[Tuple[str, int, float]]] = [None] * B
+            meta: List[Optional[Tuple[Dict[str, Any], int, float]]] = [None] * B
             k = 0
             order = list(active.keys())
             i = 0
@@ -244,7 +246,6 @@ class StreamingPipeline:
                 ok, frame = st["cap"].read()
                 if not ok:
                     st["cap"].release()
-                    finished[path] = st
                     del active[path]
                     order = list(active.keys())
                     if open_next():
@@ -252,24 +253,17 @@ class StreamingPipeline:
                     continue
                 st["frame_no"] += 1
                 frames[k] = frame[..., ::-1]
-                meta[k] = (path, st["frame_no"], float(st["cap"].get(cv2.CAP_PROP_POS_MSEC)))
+                meta[k] = (st, st["frame_no"], float(st["cap"].get(cv2.CAP_PROP_POS_MSEC)))
                 k += 1
                 i += 1
                 n_frames += 1
-            if k == 0:
-                break
-            t1 = time.perf_counter()
-            stage["read"] += t1 - t0
-            outs = self.detection.detect_frames(frames)
+            return frames, meta, k
+
+        def process(outs, meta, k: int) -> None:
             boxes_src, _xywhn, scores, valid = outs[:4]
             kpts = outs[4] if len(outs) > 4 else None
-            t2 = time.perf_counter()
-            stage["detect"] += t2 - t1
             for b in range(k):
-                path, frame_no, stamp = meta[b]
-                st = active.get(path) or finished.get(path)
-                if st is None:
-                    continue
+                st, frame_no, stamp = meta[b]
                 v = valid[b]
                 tracked = st["tracker"].update_with_indices(boxes_src[b][v], scores[b][v])
                 if kpts is None or not tracked:
@@ -285,14 +279,37 @@ class StreamingPipeline:
                     if done is not None:
                         pending.append({"track_id": track_id, **done})
                         pending_video.append(st["name"])
-            finished.clear()
-            stage["track"] += time.perf_counter() - t2
-            t3 = time.perf_counter()
-            while len(pending) >= self.score_batch:
-                chunk, pv = pending[: self.score_batch], pending_video[: self.score_batch]
-                events.extend(self._score_pending_multi(chunk, pv))
-                pending, pending_video = pending[self.score_batch :], pending_video[self.score_batch :]
-            stage["score"] += time.perf_counter() - t3
+
+        # software pipelining: dispatch batch k+1 BEFORE fetching batch k so
+        # the device compute + relay round-trip overlap host-side decode,
+        # tracking and scoring of the previous batch
+        inflight: Optional[Tuple[Any, List, int]] = None
+        while True:
+            t0 = time.perf_counter()
+            frames, meta, k = read_batch()
+            t1 = time.perf_counter()
+            stage["read"] += t1 - t0
+            nxt = (self.detection.detect_frames_async(frames), meta, k) if k else None
+            stage["detect"] += time.perf_counter() - t1
+            if inflight is not None:
+                dev, m, kk = inflight
+                t2 = time.perf_counter()
+                outs = self.detection.fetch_detections(dev)
+                t3 = time.perf_counter()
+                stage["detect"] += t3 - t2
+                process(outs, m, kk)
+                stage["track"] += time.perf_counter() - t3
+                t4 = time.perf_counter()
+                while len(pending) >= self.score_batch:
+                    chunk = pending[: self.score_batch]
+                    pv = pending_video[: self.score_batch]
+                    events.extend(self._score_pending_multi(chunk, pv))
+                    del pending[: self.score_batch]
+                    del pending_video[: self.score_batch]
+                stage["score"] += time.perf_counter() - t4
+            inflight = nxt
+            if inflight is None and not active:
+                break
         if pending:
             t3 = time.perf_counter()
             events.extend(self._score_pending_multi(pending, pending_video))
