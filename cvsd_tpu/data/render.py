@@ -20,6 +20,26 @@ from cvsd_tpu.models.graph import get_skeleton_adjacency
 _EDGES = np.argwhere(np.triu(get_skeleton_adjacency(17, "coco") - np.eye(17)) > 0)
 
 
+def _joint_palette() -> np.ndarray:
+    """17 visually distinct bright colors (uint8). Identical-colored joints
+    make left/right keypoints visually indistinguishable — a flip-symmetric
+    pose is then irreducibly ambiguous and keypoint RMS floors at ~15% of
+    box size. Distinct colors make the estimation task well-posed (the stand-in
+    for the left/right visual asymmetries of real clothing/lighting)."""
+    colors = np.empty((17, 3), np.float32)
+    for j in range(17):
+        h = (j * 0.61803398875) % 1.0  # golden-ratio hue spacing
+        i = int(h * 6)
+        f = h * 6 - i
+        p, q, t = 0.25, 1 - 0.75 * f, 0.25 + 0.75 * f
+        rgb = [(1, t, p), (q, 1, p), (p, 1, t), (p, q, 1), (t, p, 1), (1, p, q)][i % 6]
+        colors[j] = rgb
+    return (colors * 255).astype(np.uint8)
+
+
+_JOINT_COLORS = _joint_palette()
+
+
 def render_pose_frame(
     pose: np.ndarray,  # (17, 2) in [0,1] canonical coordinates
     height: int,
@@ -34,22 +54,23 @@ def render_pose_frame(
     pts = np.empty((17, 2), np.float32)
     pts[:, 0] = (offset[0] + pose[:, 0] * scale) * width
     pts[:, 1] = (offset[1] + pose[:, 1] * scale) * height
-    yy, xx = np.mgrid[0:height, 0:width]
-    # limbs: bright line segments (sampled points, cheap)
+    # limbs: line segments tinted by the average of the endpoint joint colors
     for a, b in _EDGES:
+        limb_color = (0.6 * (_JOINT_COLORS[a].astype(np.float32)
+                             + _JOINT_COLORS[b].astype(np.float32)) / 2).astype(np.uint8)
         for t in np.linspace(0, 1, 12):
             x = pts[a, 0] * (1 - t) + pts[b, 0] * t
             y = pts[a, 1] * (1 - t) + pts[b, 1] * t
             xi, yi = int(round(x)), int(round(y))
             if 0 <= yi < height - 1 and 0 <= xi < width - 1:
-                frame[yi : yi + 2, xi : xi + 2] = (210, 210, 160)
-    # joints: bright disks
-    for x, y in pts:
+                frame[yi : yi + 2, xi : xi + 2] = limb_color
+    # joints: per-index distinct-colored disks (see _joint_palette)
+    for j, (x, y) in enumerate(pts):
         xi, yi = int(round(x)), int(round(y))
         y0, y1 = max(yi - joint_radius, 0), min(yi + joint_radius + 1, height)
         x0, x1 = max(xi - joint_radius, 0), min(xi + joint_radius + 1, width)
         if y0 < y1 and x0 < x1:
-            frame[y0:y1, x0:x1] = (250, 220, 120)
+            frame[y0:y1, x0:x1] = _JOINT_COLORS[j]
     pad = 6.0
     box = np.array([pts[:, 0].min() - pad, pts[:, 1].min() - pad,
                     pts[:, 0].max() + pad, pts[:, 1].max() + pad], np.float32)
@@ -152,6 +173,11 @@ def _draw_person(
     for a, b in order:
         wfac = _LIMB_WIDTH.get((a, b), _LIMB_WIDTH.get((b, a), 1.0))
         color = pants if a >= 11 else shirt
+        # left/right shading asymmetry (COCO: odd joints = left side) — the
+        # visual cue real clothing/lighting provides; without it flip-symmetric
+        # poses make left/right keypoints irreducibly ambiguous
+        if a > 0:
+            color = color * (1.18 if a % 2 == 1 else 0.82)
         seg = np.linalg.norm(pts[a] - pts[b])
         n = max(int(seg / max(body_r * 0.7, 1.0)) + 1, 2)
         for t in np.linspace(0, 1, n):
@@ -159,7 +185,7 @@ def _draw_person(
             disk(p[0], p[1], body_r * wfac, color)
     # hands/feet + head
     for j in (9, 10):
-        disk(pts[j, 0], pts[j, 1], body_r * 0.9, skin)
+        disk(pts[j, 0], pts[j, 1], body_r * 0.9, skin * (1.18 if j % 2 == 1 else 0.82))
     head_c = (pts[0] + (pts[1] + pts[2]) / 2) / 2
     disk(head_c[0], head_c[1], body_r * 2.0, skin)
     for j in (0, 1, 2, 3, 4):
