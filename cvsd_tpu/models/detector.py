@@ -411,8 +411,18 @@ def build_detector(config: Dict[str, Any]) -> PersonDetector:
         img_size=int(d.get("img_size", 640)),
         width_mult=float(d.get("width_mult", 0.75)),
         depth_mult=float(d.get("depth_mult", 0.67)),
-        num_keypoints=17 if d.get("pose_head") else 0,
+        num_keypoints=int(d.get("num_keypoints", 17)) if d.get("pose_head") else 0,
         head_variant=str(d.get("head_variant", "anchor_free")),
         num_classes=int(d.get("num_classes", 80)),
         dtype=jnp.dtype(d.get("dtype", "bfloat16")),
     )
+
+
+def load_detector_checkpoint(path: str):
+    """(PersonDetector, variables, meta) from a DetectorTrainer.save
+    checkpoint — the architecture is rebuilt from the embedded config."""
+    from cvsd_tpu.utils.checkpoint import load_checkpoint
+
+    variables, meta = load_checkpoint(path)
+    model = build_detector((meta or {}).get("config") or {})
+    return model, variables, meta

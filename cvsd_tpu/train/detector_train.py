@@ -304,6 +304,26 @@ class DetectorTrainer:
             self._ema_t += losses.shape[0]
         return {"losses": losses}
 
+    def save(self, path: str, config=None, use_ema: bool = True, **metadata) -> None:
+        """Persist detector variables (EMA weights by default when enabled)
+        with the architecture config embedded, loadable by
+        models.detector.load_detector_checkpoint and the stream/preprocess
+        CLIs' --detector_checkpoint."""
+        from cvsd_tpu.utils.checkpoint import save_checkpoint
+
+        m = self.model
+        det_cfg = {
+            "img_size": m.img_size, "width_mult": m.width_mult,
+            "depth_mult": m.depth_mult, "pose_head": bool(m.num_keypoints),
+            "num_keypoints": m.num_keypoints,
+            "head_variant": m.head_variant, "num_classes": m.num_classes,
+            "reg_max": m.reg_max, "dtype": str(m.dtype.__name__ if hasattr(m.dtype, "__name__")
+                                               else m.dtype),
+        }
+        variables = self.ema_variables if use_ema else self.variables
+        save_checkpoint(path, jax.device_get(variables),
+                        config={**(config or {}), "detector": det_cfg}, **metadata)
+
     def train_step(self, images: np.ndarray, gt_boxes: np.ndarray, gt_valid: np.ndarray,
                    gt_kpts: Optional[np.ndarray] = None) -> Dict[str, float]:
         p, bs = self.variables["params"], self.variables["batch_stats"]

@@ -68,6 +68,8 @@ def main() -> None:
         print(f"  steps {done}: loss {out['losses'][0]:.2f} -> {out['losses'][-1]:.2f}",
               flush=True)
 
+    det_trainer.save(os.path.join(args.out, "detector.msgpack"), steps=args.steps)
+
     # pose-head quality gate: keypoint RMS on held-out rendered frames —
     # this is the number that bounds downstream anomaly-score separability
     from cvsd_tpu.eval.detection import evaluate_detector
