@@ -254,3 +254,29 @@ def test_import_keeps_fresh_keypoint_branch():
     assert "ConvBNAct_4" in head and "Conv_2" in head  # kpt branch present
     out = model.apply(variables, jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
     assert out["p3"].shape[-1] == 64 + 80 + 17 * 3
+
+
+def test_import_cli_roundtrip(tmp_path):
+    """cli.import_yolo: torch .pt -> framework checkpoint -> rebuilt model
+    detects (config embedded, v8dfl head)."""
+    import torch
+
+    from cvsd_tpu.cli.import_yolo import main as import_main
+    from cvsd_tpu.models.detector import load_detector_checkpoint, make_detect_fn
+    from cvsd_tpu.utils.yolo_import import synthesize_state_dict
+
+    sd = synthesize_state_dict(width_mult=0.25, depth_mult=0.34, seed=0)
+    pt = str(tmp_path / "tiny.pt")
+    torch.save({"model": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}}, pt)
+    out = str(tmp_path / "det.msgpack")
+    import_main(["--torch_checkpoint", pt, "--output", out,
+                 "--img_size", "64", "--width_mult", "0.25", "--depth_mult", "0.34"])
+
+    model, variables, meta = load_detector_checkpoint(out)
+    assert model.head_variant == "v8dfl" and model.img_size == 64
+    assert meta["source"] == pt
+    import jax.numpy as jnp
+    detect = make_detect_fn(model, conf_thresh=0.0, max_detections=4, use_pallas=False)
+    imgs = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    out_boxes, out_scores, out_valid = detect(variables, imgs)
+    assert np.isfinite(np.asarray(out_scores)).all()
