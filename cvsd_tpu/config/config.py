@@ -144,6 +144,9 @@ def get_default_config() -> Config:
                 "person_class_only": True,
                 "pose_head": False,
                 "tta_flip": False,  # horizontal-flip TTA (2x fwd, ~sqrt(2) less kpt noise)
+                "pose_mode": "head",  # head | topdown (crop-based pose net)
+                "pose_topdown": {"num_keypoints": 17, "width": 32, "crop_size": 64},
+                "pose_topdown_checkpoint": None,
             },
             "parallel": {
                 "mesh_shape": None,  # None -> (num_devices,) 1-D data mesh

@@ -79,10 +79,18 @@ def render_pose_frame(
 
 
 def rendered_detection_batch(
-    rng: np.random.Generator, batch: int, img_size: int, seq_source: Optional[np.ndarray] = None
+    rng: np.random.Generator, batch: int, img_size: int, seq_source: Optional[np.ndarray] = None,
+    joint_jitter: float = 0.10,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Training batch for the detector+pose head: rendered skeletons with GT
-    (images in [0,1] f32, boxes (B,1,4), valid (B,1), kpts (B,1,17,2))."""
+    (images in [0,1] f32, boxes (B,1,4), valid (B,1), kpts (B,1,17,2)).
+
+    joint_jitter: per-joint canonical-coordinate noise added BEFORE rendering
+    (GT moves with it). Without it every training pose is a small perturbation
+    of the one dataset base pose, and the keypoint head converges to the
+    scale-mapped MEAN pose — an RMS floor equal to the pose-noise magnitude
+    (~0.15 box-normalized, measured) while ignoring the pixels. Jitter
+    destroys that shortcut and forces visual localization."""
     if seq_source is None:
         ds = SyntheticPoseLiftDataset(num_samples=max(batch // 4, 2), seq_len=8,
                                       anomaly_ratio=0.5, seed=int(rng.integers(1 << 30)))
@@ -93,6 +101,8 @@ def rendered_detection_batch(
     kpts = np.zeros((batch, 1, 17, 2), np.float32)
     for b in range(batch):
         pose = seq_source[rng.integers(len(seq_source))]
+        if joint_jitter:
+            pose = pose + rng.normal(0.0, joint_jitter, pose.shape)
         scale = rng.uniform(0.4, 0.8)
         off = (rng.uniform(0.02, 0.5), rng.uniform(0.02, 0.5))
         frame, box, pts = render_pose_frame(pose, img_size, img_size, rng, scale, off)
@@ -300,3 +310,34 @@ def render_pose_video(
     finally:
         writer.release()
     return path
+
+
+def rendered_pose_crop_batch(
+    rng: np.random.Generator, batch: int, frame_size: int = 96,
+    joint_jitter: float = 0.10, box_jitter: float = 0.08,
+    seq_source: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Training batch for the TOP-DOWN pose net: single-person frames with
+    box-jittered GT boxes (simulating imperfect detections) and keypoints.
+    Returns (frames (B, S, S, 3) f32 in [0,1], boxes (B, 4) xyxy px,
+    kpts (B, 17, 2) px)."""
+    if seq_source is None:
+        ds = SyntheticPoseLiftDataset(num_samples=max(batch // 4, 2), seq_len=8,
+                                      anomaly_ratio=0.5, seed=int(rng.integers(1 << 30)))
+        seq_source = ds.poses.reshape(-1, 17, 2)
+    frames = np.empty((batch, frame_size, frame_size, 3), np.float32)
+    boxes = np.zeros((batch, 4), np.float32)
+    kpts = np.zeros((batch, 17, 2), np.float32)
+    for b in range(batch):
+        pose = seq_source[rng.integers(len(seq_source))]
+        if joint_jitter:
+            pose = pose + rng.normal(0.0, joint_jitter, pose.shape)
+        scale = rng.uniform(0.4, 0.85)
+        off = (rng.uniform(0.02, 0.5), rng.uniform(0.02, 0.5))
+        frame, box, pts = render_pose_frame(pose, frame_size, frame_size, rng, scale, off)
+        frames[b] = frame / 255.0
+        w, h = box[2] - box[0], box[3] - box[1]
+        jit = rng.normal(0.0, box_jitter, 4) * np.array([w, h, w, h], np.float32)
+        boxes[b] = np.clip(box + jit, 0, [frame_size] * 4)
+        kpts[b] = pts
+    return frames, boxes, kpts

@@ -42,7 +42,8 @@ class DetectionPipeline:
     """Detector + fused preprocess/postprocess jitted per source resolution."""
 
     def __init__(self, config: Dict[str, Any], variables: Optional[Any] = None, seed: int = 0,
-                 use_pallas: Optional[bool] = None, mesh_config: Optional[MeshConfig] = None):
+                 use_pallas: Optional[bool] = None, mesh_config: Optional[MeshConfig] = None,
+                 pose_model: Optional[Any] = None, pose_variables: Optional[Any] = None):
         self.config = config
         self.mesh_config = mesh_config  # DP inference: frames sharded over the
         #                                 mesh's batch axis, params replicated
@@ -71,6 +72,31 @@ class DetectionPipeline:
         # keypoint regression noise ~sqrt(2); worth it when pose fidelity
         # drives downstream anomaly scores
         self.tta_flip = bool(d.get("tta_flip", False))
+        # pose_mode 'topdown': keypoints from the dedicated crop-based pose
+        # net (models/pose_topdown.py) fused into the same jitted program —
+        # measured ~2.4x lower keypoint RMS than the one-stage head
+        # (RESULTS.md). 'head' uses the detector's keypoint branch.
+        self.pose_mode = str(d.get("pose_mode", "head"))
+        self.pose_model = pose_model
+        self.pose_variables = pose_variables
+        if self.pose_mode == "topdown" and self.pose_model is None:
+            ckpt = d.get("pose_topdown_checkpoint")
+            if ckpt:
+                from cvsd_tpu.train.pose_topdown_train import load_pose_topdown_checkpoint
+
+                self.pose_model, self.pose_variables, _ = load_pose_topdown_checkpoint(ckpt)
+            else:
+                from cvsd_tpu.models.pose_topdown import TopDownPoseNet
+
+                td = d.get("pose_topdown") or {}
+                self.pose_model = TopDownPoseNet(
+                    num_keypoints=int(td.get("num_keypoints", 17)),
+                    width=int(td.get("width", 32)),
+                    crop_size=int(td.get("crop_size", 64)),
+                )
+                if self.pose_variables is None:
+                    self.pose_variables = self.pose_model.init_variables(
+                        jax.random.PRNGKey(seed + 1))
         self._full_fns: Dict[Tuple[int, int], Any] = {}
         self._detect = make_detect_fn(self.model, self.conf, self.iou, self.max_det,
                                       nms_method=nms_method, tta_flip=self.tta_flip)
@@ -96,6 +122,8 @@ class DetectionPipeline:
             conf, iou, max_det = self.conf, self.iou, self.max_det
             detect = self._detect
 
+            pose_model, pose_variables = self.pose_model, self.pose_variables
+
             def full(variables, frames):
                 images = letterbox_batch(frames, size=size, dtype=model.dtype)
                 out = detect(variables, images)
@@ -103,7 +131,16 @@ class DetectionPipeline:
                 boxes_src = unletterbox_boxes(boxes_lb, src_h, src_w, size)
                 xywhn = xyxy_to_xywhn(boxes_src, float(src_w), float(src_h))
                 res = (boxes_src, xywhn, scores, valid)
-                if len(out) > 3:  # pose head
+                if pose_model is not None:
+                    # top-down pose on canvas crops, fused into the program;
+                    # pose weights are closed over (small net — constants)
+                    from cvsd_tpu.models.pose_topdown import pose_from_boxes
+
+                    kpts, _ = pose_from_boxes(
+                        pose_model, pose_variables, images.astype(jnp.float32),
+                        boxes_lb.astype(jnp.float32))
+                    res = res + (kpts,)
+                elif len(out) > 3:  # one-stage pose head
                     res = res + (out[3],)
                 return res
 

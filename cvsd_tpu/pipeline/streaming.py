@@ -76,12 +76,19 @@ class StreamingPipeline:
         scorer: ShopformerScorer,
         detector_variables: Optional[Any] = None,
         seed: int = 0,
+        pose_model: Optional[Any] = None,
+        pose_variables: Optional[Any] = None,
     ):
         cfg = dict(config)
         cfg.setdefault("detector", {})
-        cfg["detector"]["pose_head"] = True  # streaming needs keypoints
+        # streaming needs keypoints: either the detector's pose head or the
+        # top-down crop pose net (detector.pose_mode == 'topdown')
+        if cfg["detector"].get("pose_mode", "head") != "topdown":
+            cfg["detector"]["pose_head"] = True
         self.config = cfg
-        self.detection = DetectionPipeline(cfg, variables=detector_variables, seed=seed)
+        self.detection = DetectionPipeline(cfg, variables=detector_variables, seed=seed,
+                                           pose_model=pose_model,
+                                           pose_variables=pose_variables)
         self.scorer = scorer
         m = scorer.config["model"]
         self.seq_len = int(m.get("seq_len", 12))

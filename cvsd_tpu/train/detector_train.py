@@ -167,8 +167,9 @@ class DetectorTrainer:
         if total_steps:
             # warmup + cosine decay to 1% — flat Adam never converges the
             # keypoint regression tightly; the tail LR is what cuts kpt RMS
+            warmup = max(1, min(int(warmup_steps), int(total_steps) // 5))
             lr = optax.warmup_cosine_decay_schedule(
-                0.0, lr, max(int(warmup_steps), 1), int(total_steps), end_value=lr * 0.01)
+                0.0, lr, warmup, int(total_steps), end_value=lr * 0.01)
         self.opt = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(lr))
         self.opt_state = self.opt.init(self.variables["params"])
         if mesh_config is not None:

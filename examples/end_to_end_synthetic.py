@@ -23,7 +23,8 @@ import numpy as np
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--steps", type=int, default=3000, help="detector training steps")
+    p.add_argument("--steps", type=int, default=2000, help="detector training steps")
+    p.add_argument("--pose-steps", type=int, default=3000, help="top-down pose net steps")
     p.add_argument("--out", type=str, default="/tmp/e2e_synthetic")
     p.add_argument("--img_size", type=int, default=128)
     p.add_argument("--test-videos", type=int, default=32,
@@ -47,12 +48,12 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
 
-    # 1. detector + pose head on rendered skeletons -------------------------
+    # 1a. box detector on rendered skeletons --------------------------------
     # lax.scan-batched steps: N optimizer updates in one device dispatch
-    print(f"== training detector + pose head on rendered skeletons ({args.steps} steps) ==")
+    print(f"== training box detector on rendered skeletons ({args.steps} steps) ==")
     det_model = PersonDetector(img_size=args.img_size, width_mult=0.25, depth_mult=0.34,
-                               num_keypoints=17, dtype=jnp.float32)
-    det_trainer = DetectorTrainer(det_model, lr=2e-3, kpt_weight=0.3,
+                               dtype=jnp.float32)
+    det_trainer = DetectorTrainer(det_model, lr=2e-3,
                                   total_steps=args.steps, warmup_steps=100,
                                   ema_decay=0.998)
     chunk = 200
@@ -62,7 +63,7 @@ def main() -> None:
         data = [rendered_detection_batch(rng, 8, args.img_size) for _ in range(n)]
         out = det_trainer.train_steps_scan(
             np.stack([d[0] for d in data]), np.stack([d[1] for d in data]),
-            np.stack([d[2] for d in data]), np.stack([d[3] for d in data]),
+            np.stack([d[2] for d in data]),
         )
         done += n
         print(f"  steps {done}: loss {out['losses'][0]:.2f} -> {out['losses'][-1]:.2f}",
@@ -70,22 +71,40 @@ def main() -> None:
 
     det_trainer.save(os.path.join(args.out, "detector.msgpack"), steps=args.steps)
 
-    # pose-head quality gate: keypoint RMS on held-out rendered frames —
-    # this is the number that bounds downstream anomaly-score separability
-    from cvsd_tpu.eval.detection import evaluate_detector
-    from cvsd_tpu.models.detector import make_detect_fn
+    # 1b. TOP-DOWN pose net on crops ----------------------------------------
+    # (one-stage center-cell keypoint regression converges to the mean pose —
+    #  RESULTS.md; the crop-based soft-argmax net actually reads the pixels)
+    print(f"== training top-down pose net ({args.pose_steps} steps) ==")
+    from cvsd_tpu.data.render import rendered_pose_crop_batch
+    from cvsd_tpu.models.pose_topdown import TopDownPoseNet, pose_from_boxes
+    from cvsd_tpu.train.pose_topdown_train import TopDownPoseTrainer
 
-    ev = rendered_detection_batch(np.random.default_rng(9999), 64, args.img_size)
-    for label, tta in (("raw", False), ("ema+tta", True)):
-        det_eval = evaluate_detector(
-            make_detect_fn(det_model, conf_thresh=0.25, iou_thresh=0.45,
-                           max_detections=4, tta_flip=tta),
-            det_trainer.ema_variables if tta else det_trainer.variables, *ev)
-        print(f"  held-out [{label}] AP@50 {det_eval['ap']:.3f}, "
-              f"keypoints {det_eval.get('keypoints')}", flush=True)
+    pose_model = TopDownPoseNet(num_keypoints=17, width=32, crop_size=64)
+    pose_trainer = TopDownPoseTrainer(pose_model, lr=1e-3, total_steps=args.pose_steps)
+    done = 0
+    while done < args.pose_steps:
+        n = min(250, args.pose_steps - done)
+        data = [rendered_pose_crop_batch(rng, 32) for _ in range(n)]
+        out = pose_trainer.train_steps_scan(
+            np.stack([d[0] for d in data]), np.stack([d[1] for d in data]),
+            np.stack([d[2] for d in data]))
+        done += n
+        print(f"  pose steps {done}: loss {out['losses'][-1]:.5f}", flush=True)
+    pose_trainer.save(os.path.join(args.out, "pose_topdown.msgpack"), steps=args.pose_steps)
+
+    # pose quality gate: frame-pixel keypoint RMS on held-out renders — this
+    # is the number that bounds downstream anomaly-score separability
+    ev_f, ev_b, ev_k = rendered_pose_crop_batch(np.random.default_rng(9999), 128,
+                                                joint_jitter=0.0)
+    kp, _ = pose_from_boxes(pose_model, pose_trainer.variables, jnp.asarray(ev_f),
+                            jnp.asarray(ev_b)[:, None, :])
+    err = np.linalg.norm(np.asarray(kp)[:, 0, :, :2] - ev_k, axis=-1)
+    bw = np.clip(ev_b[:, 2] - ev_b[:, 0], 1, None)[:, None]
+    print(f"  held-out pose RMS: {np.sqrt((err ** 2).mean()):.2f} px "
+          f"({np.sqrt(((err / bw) ** 2).mean()):.3f} box-normalized)", flush=True)
 
     # 2. render videos and EXTRACT a PoseLift dataset with the trained pose
-    #    head — the Shopformer then trains on the same pose distribution it
+    #    net — the Shopformer then trains on the same pose distribution it
     #    will see at inference time (domain-matched, the real protocol)
     print("== rendering videos + extracting PoseLift dataset ==")
     from cvsd_tpu.data.ucf_crime import TemporalAnnotation
@@ -95,8 +114,10 @@ def main() -> None:
     cfg = get_default_config()
     cfg["detector"].update(img_size=args.img_size, width_mult=0.25, depth_mult=0.34,
                            batch_size=16, conf_threshold=0.3, max_detections=4,
-                           dtype="float32", pose_head=True, tta_flip=True)
-    det_pipeline = DetectionPipeline(cfg, variables=det_trainer.ema_variables)
+                           dtype="float32", pose_mode="topdown")
+    det_pipeline = DetectionPipeline(cfg, variables=det_trainer.ema_variables,
+                                     pose_model=pose_model,
+                                     pose_variables=pose_trainer.variables)
 
     poselift_dir = os.path.join(args.out, "PoseLift")
     T_VID = 72
@@ -140,7 +161,8 @@ def main() -> None:
     model = build_shopformer(cfg)
     variables = {"params": trainer._params, "batch_stats": trainer._batch_stats}
     scorer = ShopformerScorer(model, variables, cfg)
-    pipe = StreamingPipeline(cfg, scorer, detector_variables=det_trainer.ema_variables)
+    pipe = StreamingPipeline(cfg, scorer, detector_variables=det_trainer.ema_variables,
+                             pose_model=pose_model, pose_variables=pose_trainer.variables)
     out = pipe.stream_videos_concurrent(test_videos, max_streams=8)
     agg = pipe.aggregate_events(out["events"])
     result = {}
