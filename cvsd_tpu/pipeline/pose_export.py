@@ -32,7 +32,8 @@ def extract_pose_data(
 ) -> Dict[int, Dict[int, list]]:
     """One video -> ``{frame: {person_id: [bbox_xyxy, (17,3) keypoints]}}``
     in source-pixel coordinates (PoseLift convention)."""
-    assert pipeline.model.num_keypoints, "pose head required (detector.pose_head=true)"
+    assert pipeline.model.num_keypoints or pipeline.pose_model is not None, \
+        "keypoint source required (detector.pose_head=true or pose_mode='topdown')"
     tracker = IoUTracker()
     out: Dict[int, Dict[int, list]] = {}
     batcher = VideoBatcher(video_path, batch_size=pipeline.batch_size)
