@@ -29,8 +29,10 @@ def main() -> None:
     p.add_argument("--img_size", type=int, default=128)
     p.add_argument("--test-videos", type=int, default=32,
                    help="held-out videos (half normal, half anomalous)")
-    p.add_argument("--train-videos", type=int, default=16)
-    p.add_argument("--epochs", type=int, default=25, help="shopformer epochs/stage")
+    p.add_argument("--train-videos", type=int, default=64,
+                   help="normal videos for Shopformer training — window AUC is "
+                        "data-limited below ~64 (RESULTS.md progression)")
+    p.add_argument("--epochs", type=int, default=60, help="shopformer epochs/stage")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -147,9 +149,9 @@ def main() -> None:
     # 3. Shopformer on the EXTRACTED poses -----------------------------------
     print("== training shopformer on extracted pose sequences ==")
     cfg["data"].update(dataset="poselift", data_dir=poselift_dir, batch_size=64, stride=6)
-    cfg["model"]["hidden_channels"] = 16
+    cfg["model"]["hidden_channels"] = 32
     cfg["training"].update(stage1_epochs=args.epochs, stage2_epochs=args.epochs, lr=1e-3,
-                           scan_epoch=True)
+                           scan_epoch=True, scheduler="cosine_warmup")
     cfg["experiment"]["checkpoint_dir"] = os.path.join(args.out, "shopformer")
     trainer = Trainer(cfg, verbose=False).setup()
     artifact = trainer.fit()
