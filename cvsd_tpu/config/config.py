@@ -145,6 +145,7 @@ def get_default_config() -> Config:
                 "pose_head": False,
                 "tta_flip": False,  # horizontal-flip TTA (2x fwd, ~sqrt(2) less kpt noise)
                 "pose_mode": "head",  # head | topdown (crop-based pose net)
+                "stream_depth": 3,  # in-flight detection batches in streaming
                 "pose_topdown": {"num_keypoints": 17, "width": 32, "crop_size": 64},
                 "pose_topdown_checkpoint": None,
             },

@@ -95,6 +95,9 @@ class StreamingPipeline:
         self.num_keypoints = int(m.get("num_keypoints", 18))
         self.stride = int(scorer.config.get("data", {}).get("stride", self.seq_len // 2))
         self.score_batch = int(scorer.config.get("data", {}).get("batch_size", 32))
+        # detection batches kept in flight before the oldest is fetched
+        # (amortizes the per-batch relay round-trip; 1 = classic double-buffer)
+        self.stream_depth = max(1, int(cfg["detector"].get("stream_depth", 3)))
         self._stage_seconds = {"read": 0.0, "detect": 0.0, "track": 0.0, "score": 0.0}
 
     def _prepare_window(self, window: np.ndarray) -> np.ndarray:
@@ -287,36 +290,42 @@ class StreamingPipeline:
                         pending.append({"track_id": track_id, **done})
                         pending_video.append(st["name"])
 
-        # software pipelining: dispatch batch k+1 BEFORE fetching batch k so
-        # the device compute + relay round-trip overlap host-side decode,
-        # tracking and scoring of the previous batch
-        inflight: Optional[Tuple[Any, List, int]] = None
+        # software pipelining: keep up to `stream_depth` detection batches in
+        # flight before fetching the oldest, so device compute and the relay
+        # round-trip (the dominant per-batch cost, ~25 ms+ each way) amortize
+        # over D batches while the host decodes/tracks/scores
+        from collections import deque
+
+        inflight: deque = deque()
+        eof = False
         while True:
-            t0 = time.perf_counter()
-            frames, meta, k = read_batch()
-            t1 = time.perf_counter()
-            stage["read"] += t1 - t0
-            nxt = (self.detection.detect_frames_async(frames), meta, k) if k else None
-            stage["detect"] += time.perf_counter() - t1
-            if inflight is not None:
-                dev, m, kk = inflight
-                t2 = time.perf_counter()
-                outs = self.detection.fetch_detections(dev)
-                t3 = time.perf_counter()
-                stage["detect"] += t3 - t2
-                process(outs, m, kk)
-                stage["track"] += time.perf_counter() - t3
-                t4 = time.perf_counter()
-                while len(pending) >= self.score_batch:
-                    chunk = pending[: self.score_batch]
-                    pv = pending_video[: self.score_batch]
-                    events.extend(self._score_pending_multi(chunk, pv))
-                    del pending[: self.score_batch]
-                    del pending_video[: self.score_batch]
-                stage["score"] += time.perf_counter() - t4
-            inflight = nxt
-            if inflight is None and not active:
+            while not eof and len(inflight) < self.stream_depth:
+                t0 = time.perf_counter()
+                frames, meta, k = read_batch()
+                t1 = time.perf_counter()
+                stage["read"] += t1 - t0
+                if k:
+                    inflight.append((self.detection.detect_frames_async(frames), meta, k))
+                else:
+                    eof = True
+                stage["detect"] += time.perf_counter() - t1
+            if not inflight:
                 break
+            dev, m, kk = inflight.popleft()
+            t2 = time.perf_counter()
+            outs = self.detection.fetch_detections(dev)
+            t3 = time.perf_counter()
+            stage["detect"] += t3 - t2
+            process(outs, m, kk)
+            stage["track"] += time.perf_counter() - t3
+            t4 = time.perf_counter()
+            while len(pending) >= self.score_batch:
+                chunk = pending[: self.score_batch]
+                pv = pending_video[: self.score_batch]
+                events.extend(self._score_pending_multi(chunk, pv))
+                del pending[: self.score_batch]
+                del pending_video[: self.score_batch]
+            stage["score"] += time.perf_counter() - t4
         if pending:
             t3 = time.perf_counter()
             events.extend(self._score_pending_multi(pending, pending_video))
