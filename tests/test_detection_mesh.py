@@ -78,3 +78,25 @@ def test_detector_scan_training_on_mesh(rng):
     out_s = single.train_steps_scan(images, boxes, valid)
     out_d = dp.train_steps_scan(images, boxes, valid)
     np.testing.assert_allclose(out_s["losses"], out_d["losses"], rtol=5e-3)
+
+
+def test_topdown_pose_on_mesh_matches_single_device(rng):
+    """DP inference with the fused top-down pose stage: kpts from the sharded
+    pipeline match single-device (crop gathers are per-example, so batch
+    sharding commutes with the pose net)."""
+    cfg = get_default_config()
+    cfg["detector"].update(img_size=64, width_mult=0.25, depth_mult=0.34,
+                           batch_size=8, conf_threshold=0.0, max_detections=4,
+                           dtype="float32", pose_mode="topdown",
+                           pose_topdown={"num_keypoints": 17, "width": 8, "crop_size": 32})
+    single = DetectionPipeline(cfg)
+    mc = MeshConfig.from_config(cfg)
+    sharded = DetectionPipeline(cfg, variables=single.variables, mesh_config=mc,
+                                pose_model=single.pose_model,
+                                pose_variables=single.pose_variables)
+    frames = rng.integers(0, 255, (8, 48, 64, 3)).astype(np.uint8)
+    out_s = single.detect_frames(frames)
+    out_m = sharded.detect_frames(frames)
+    assert len(out_s) == 5 and len(out_m) == 5
+    for a, b in zip(out_s, out_m):
+        np.testing.assert_allclose(a, b, atol=2e-3)
