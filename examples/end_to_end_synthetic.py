@@ -29,7 +29,7 @@ def main() -> None:
     p.add_argument("--img_size", type=int, default=128)
     p.add_argument("--test-videos", type=int, default=32,
                    help="held-out videos (half normal, half anomalous)")
-    p.add_argument("--train-videos", type=int, default=64,
+    p.add_argument("--train-videos", type=int, default=128,
                    help="normal videos for Shopformer training — window AUC is "
                         "data-limited below ~64 (RESULTS.md progression)")
     p.add_argument("--epochs", type=int, default=60, help="shopformer epochs/stage")
