@@ -46,7 +46,13 @@ def main(argv=None) -> None:
 
         detector_variables, _ = load_checkpoint(args.detector_checkpoint)
 
-    pipe = StreamingPipeline(scorer.config, scorer, detector_variables=detector_variables)
+    # checkpoint-embedded config + CLI dotted overrides (--set a.b=c), so
+    # detector options (pose_mode, stream_depth, tta_flip, ...) are reachable
+    from cvsd_tpu.config.config import apply_overrides
+
+    cfg = apply_overrides(scorer.config, getattr(args, "overrides", []) or [])
+    scorer.config = cfg
+    pipe = StreamingPipeline(cfg, scorer, detector_variables=detector_variables)
     if args.concurrent:
         out = pipe.stream_videos_concurrent(args.videos, max_streams=args.max_streams)
     else:
