@@ -25,6 +25,38 @@ def resolve_config(args: argparse.Namespace) -> Dict[str, Any]:
     return cfg
 
 
+# architecture fields a detector checkpoint must dictate for the weights to
+# apply and decode correctly; runtime fields (thresholds, batch_size,
+# stream_depth, ...) stay with the session config
+_DETECTOR_ARCH_KEYS = (
+    "head_variant", "num_classes", "reg_max", "width_mult", "depth_mult",
+    "img_size", "num_keypoints", "pose_head", "channel_divisor", "dtype",
+)
+
+
+def load_detector_cli(path: str, cfg: Dict[str, Any], overrides=None):
+    """Load a detector checkpoint for a CLI consumer: returns (variables, cfg)
+    with the checkpoint's embedded architecture config merged into
+    cfg['detector'] so an imported yolov5u / trained checkpoint (different
+    head_variant/width/reg_max than the session default) rebuilds correctly.
+    CLI dotted `detector.*` overrides are re-applied afterwards, so explicit
+    --set flags still win."""
+    from cvsd_tpu.utils.checkpoint import load_checkpoint
+
+    variables, meta = load_checkpoint(path)
+    embedded = ((meta or {}).get("config") or {}).get("detector") or {}
+    if embedded:
+        det = dict(cfg.get("detector", {}) or {})
+        for k in _DETECTOR_ARCH_KEYS:
+            if k in embedded:
+                det[k] = embedded[k]
+        cfg = dict(cfg)
+        cfg["detector"] = det
+        if overrides:
+            cfg = apply_overrides(cfg, [o for o in overrides if o.startswith("detector.")])
+    return variables, cfg
+
+
 def maybe_mesh(cfg: Dict[str, Any]):
     """Build a MeshConfig when more than one device is visible."""
     import jax

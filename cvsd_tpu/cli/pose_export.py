@@ -29,9 +29,10 @@ def main(argv=None) -> None:
 
     variables = None
     if args.detector_checkpoint:
-        from cvsd_tpu.utils.checkpoint import load_checkpoint
+        from cvsd_tpu.cli.common import load_detector_cli
 
-        variables, _ = load_checkpoint(args.detector_checkpoint)
+        variables, cfg = load_detector_cli(args.detector_checkpoint, cfg, args.overrides)
+        cfg["detector"]["pose_head"] = True
 
     annotations = None
     if args.annotations:

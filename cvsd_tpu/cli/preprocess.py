@@ -28,9 +28,9 @@ def main(argv=None) -> None:
 
     variables = None
     if args.detector_checkpoint:
-        from cvsd_tpu.utils.checkpoint import load_checkpoint
+        from cvsd_tpu.cli.common import load_detector_cli
 
-        variables, _ = load_checkpoint(args.detector_checkpoint)
+        variables, cfg = load_detector_cli(args.detector_checkpoint, cfg, args.overrides)
 
     from cvsd_tpu.cli.common import maybe_mesh
     from cvsd_tpu.pipeline.preprocess import preprocess_ucf_crime

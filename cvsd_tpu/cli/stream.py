@@ -34,25 +34,40 @@ def main(argv=None) -> None:
     p.add_argument("--aggregation", type=str, default="max",
                    choices=["max", "mean", "percentile_95"])
     p.add_argument("--output", type=str, default=None)
+    p.add_argument("--no_mesh", action="store_true",
+                   help="single-device even when multiple chips are visible "
+                        "(default: shard frame batches over the data mesh axis)")
     args = p.parse_args(argv)
 
     from cvsd_tpu.eval.evaluate import load_model
     from cvsd_tpu.pipeline.streaming import StreamingPipeline
 
     scorer = load_model(args.checkpoint)
-    detector_variables = None
-    if args.detector_checkpoint:
-        from cvsd_tpu.utils.checkpoint import load_checkpoint
-
-        detector_variables, _ = load_checkpoint(args.detector_checkpoint)
 
     # checkpoint-embedded config + CLI dotted overrides (--set a.b=c), so
     # detector options (pose_mode, stream_depth, tta_flip, ...) are reachable
     from cvsd_tpu.config.config import apply_overrides
 
     cfg = apply_overrides(scorer.config, getattr(args, "overrides", []) or [])
+    detector_variables = None
+    if args.detector_checkpoint:
+        # merge the detector checkpoint's embedded architecture config
+        # (head_variant/width/reg_max/...) so imported yolov5u checkpoints
+        # rebuild + decode correctly; explicit --set detector.* still wins
+        from cvsd_tpu.cli.common import load_detector_cli
+
+        detector_variables, cfg = load_detector_cli(
+            args.detector_checkpoint, cfg, getattr(args, "overrides", []) or [])
     scorer.config = cfg
-    pipe = StreamingPipeline(cfg, scorer, detector_variables=detector_variables)
+    # multi-chip streaming: shard multiplexed frame batches over the mesh's
+    # data axis when >1 device is visible (disable with --no_mesh)
+    mesh_config = None
+    if not args.no_mesh:
+        from cvsd_tpu.cli.common import maybe_mesh
+
+        mesh_config = maybe_mesh(cfg)
+    pipe = StreamingPipeline(cfg, scorer, detector_variables=detector_variables,
+                             mesh_config=mesh_config)
     if args.concurrent:
         out = pipe.stream_videos_concurrent(args.videos, max_streams=args.max_streams)
     else:

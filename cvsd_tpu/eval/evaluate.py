@@ -54,6 +54,17 @@ class ShopformerScorer:
             out.append(s[batch["mask"].astype(bool)])
         return np.concatenate(out) if out else np.zeros(0)
 
+    def score_async(self, poses: np.ndarray):
+        """Dispatch one fixed-shape (B, T, V, C) batch and return the DEVICE
+        array immediately (no host sync) — pair with `fetch_scores` so the
+        relay round-trip overlaps host decode/track work (same software
+        pipelining as DetectionPipeline.detect_frames_async)."""
+        return self._score(self.variables, np.asarray(poses, np.float32))
+
+    @staticmethod
+    def fetch_scores(device_scores) -> np.ndarray:
+        return np.asarray(jax.device_get(device_scores))
+
 
 def load_model(checkpoint_path: str, config: Optional[Dict[str, Any]] = None) -> ShopformerScorer:
     """Rebuild the model from the checkpoint-embedded config (or an explicit

@@ -100,11 +100,12 @@ class SPPF(nn.Module):
 class Backbone(nn.Module):
     width_mult: float = 0.75
     depth_mult: float = 0.67
+    channel_divisor: int = 8  # 128 = lane-aligned channels at every level
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        w = lambda c: _round_ch(c * self.width_mult)  # noqa: E731
+        w = lambda c: _round_ch(c * self.width_mult, self.channel_divisor)  # noqa: E731
         d = lambda n: max(1, round(n * self.depth_mult))  # noqa: E731
         x = ConvBNAct(w(64), 6, 2, dtype=self.dtype)(x, train)          # /2
         x = ConvBNAct(w(128), 3, 2, dtype=self.dtype)(x, train)         # /4
@@ -131,12 +132,13 @@ def _upsample2(x: jax.Array) -> jax.Array:
 class PANNeck(nn.Module):
     width_mult: float = 0.75
     depth_mult: float = 0.67
+    channel_divisor: int = 8
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
         p3, p4, p5 = feats
-        w = lambda c: _round_ch(c * self.width_mult)  # noqa: E731
+        w = lambda c: _round_ch(c * self.width_mult, self.channel_divisor)  # noqa: E731
         d = lambda n: max(1, round(n * self.depth_mult))  # noqa: E731
         # top-down
         t5 = ConvBNAct(w(512), 1, dtype=self.dtype)(p5, train)
@@ -224,14 +226,21 @@ class PersonDetector(nn.Module):
     head_variant: str = "anchor_free"
     num_classes: int = 80  # v8dfl only
     reg_max: int = 16  # v8dfl only
+    # channel rounding divisor: 8 reproduces ultralytics channel counts
+    # (import compat); 128 gives lane-aligned activations at every level for
+    # from-scratch configs — the TPU (8,128) tile pads the channel (lane)
+    # dim, so C=48/96 levels waste up to 2.7x HBM bandwidth (PROFILE.md)
+    channel_divisor: int = 8
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, images: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
         """images: (B, S, S, 3) in [0,1] (already letterboxed).
         Returns raw per-level maps {'p3','p4','p5'}."""
-        feats = Backbone(self.width_mult, self.depth_mult, dtype=self.dtype)(images, train)
-        n3, n4, n5 = PANNeck(self.width_mult, self.depth_mult, dtype=self.dtype)(feats, train)
+        feats = Backbone(self.width_mult, self.depth_mult, self.channel_divisor,
+                         dtype=self.dtype)(images, train)
+        n3, n4, n5 = PANNeck(self.width_mult, self.depth_mult, self.channel_divisor,
+                             dtype=self.dtype)(feats, train)
         if self.head_variant == "v8dfl":
             ch_p3 = n3.shape[-1]
             box_ch = max(16, ch_p3 // 4, 4 * self.reg_max)
@@ -414,6 +423,8 @@ def build_detector(config: Dict[str, Any]) -> PersonDetector:
         num_keypoints=int(d.get("num_keypoints", 17)) if d.get("pose_head") else 0,
         head_variant=str(d.get("head_variant", "anchor_free")),
         num_classes=int(d.get("num_classes", 80)),
+        reg_max=int(d.get("reg_max", 16)),
+        channel_divisor=int(d.get("channel_divisor", 8)),
         dtype=jnp.dtype(d.get("dtype", "bfloat16")),
     )
 

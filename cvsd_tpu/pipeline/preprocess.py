@@ -86,8 +86,16 @@ class DetectionPipeline:
 
                 self.pose_model, self.pose_variables, _ = load_pose_topdown_checkpoint(ckpt)
             else:
+                import warnings
+
                 from cvsd_tpu.models.pose_topdown import TopDownPoseNet
 
+                warnings.warn(
+                    "detector.pose_mode='topdown' with no pose_topdown_checkpoint "
+                    "and no pose_model: instantiating a RANDOMLY-INITIALIZED "
+                    "TopDownPoseNet — keypoints will be garbage. Set "
+                    "detector.pose_topdown_checkpoint (train/pose_topdown_train.py) "
+                    "or pass pose_model/pose_variables.", RuntimeWarning)
                 td = d.get("pose_topdown") or {}
                 self.pose_model = TopDownPoseNet(
                     num_keypoints=int(td.get("num_keypoints", 17)),
@@ -263,14 +271,17 @@ def preprocess_ucf_crime(
     variables: Optional[Any] = None,
     mesh_config: Optional[MeshConfig] = None,
     verbose: bool = True,
+    pipeline: Optional[DetectionPipeline] = None,
 ) -> Dict[str, Any]:
     """The full preprocess driver (reference: preprocess.py:5-53).
-    With a mesh, frame batches shard across chips (DP inference)."""
+    With a mesh, frame batches shard across chips (DP inference).
+    Pass `pipeline` to reuse already-compiled programs across calls."""
     output_dir = output_dir or dataset_dir
     entries = read_train_list(os.path.join(dataset_dir, train_list), category_filter)
     if limit:
         entries = entries[:limit]
-    pipeline = DetectionPipeline(config, variables=variables, mesh_config=mesh_config)
+    if pipeline is None:
+        pipeline = DetectionPipeline(config, variables=variables, mesh_config=mesh_config)
     tracker = IoUTracker()
     stats: Dict[str, Any] = {"videos": 0, "frames": 0, "rows": 0, "skipped": [], "seconds": 0.0}
     for entry in entries:

@@ -78,6 +78,7 @@ class StreamingPipeline:
         seed: int = 0,
         pose_model: Optional[Any] = None,
         pose_variables: Optional[Any] = None,
+        mesh_config: Optional[Any] = None,
     ):
         cfg = dict(config)
         cfg.setdefault("detector", {})
@@ -86,9 +87,13 @@ class StreamingPipeline:
         if cfg["detector"].get("pose_mode", "head") != "topdown":
             cfg["detector"]["pose_head"] = True
         self.config = cfg
+        # mesh: multiplexed frame batches shard over the mesh's data axis —
+        # the "shard concurrent video streams across chips" scaling story
+        # (SURVEY.md §, reference serves one video per GPU process instead)
         self.detection = DetectionPipeline(cfg, variables=detector_variables, seed=seed,
                                            pose_model=pose_model,
-                                           pose_variables=pose_variables)
+                                           pose_variables=pose_variables,
+                                           mesh_config=mesh_config)
         self.scorer = scorer
         m = scorer.config["model"]
         self.seq_len = int(m.get("seq_len", 12))
@@ -98,6 +103,11 @@ class StreamingPipeline:
         # detection batches kept in flight before the oldest is fetched
         # (amortizes the per-batch relay round-trip; 1 = classic double-buffer)
         self.stream_depth = max(1, int(cfg["detector"].get("stream_depth", 3)))
+        # scoring gets its own in-flight queue: each Shopformer dispatch is
+        # fire-and-forget up to this depth, so the score round-trip rides the
+        # same pipelining as detection instead of blocking the stream loop
+        self.score_depth = max(1, int(cfg["detector"].get(
+            "score_stream_depth", self.stream_depth)))
         self._stage_seconds = {"read": 0.0, "detect": 0.0, "track": 0.0, "score": 0.0}
 
     def _prepare_window(self, window: np.ndarray) -> np.ndarray:
@@ -293,10 +303,44 @@ class StreamingPipeline:
         # software pipelining: keep up to `stream_depth` detection batches in
         # flight before fetching the oldest, so device compute and the relay
         # round-trip (the dominant per-batch cost, ~25 ms+ each way) amortize
-        # over D batches while the host decodes/tracks/scores
+        # over D batches while the host decodes/tracks/scores. Scoring gets the
+        # same treatment (its own `score_depth` in-flight queue): a Shopformer
+        # dispatch used to BLOCK the loop for a full round-trip per score batch
+        # — now the dispatch returns immediately and the fetch overlaps later
+        # host work, so steady state pays one round-trip latency, not one per
+        # batch per stage.
         from collections import deque
 
         inflight: deque = deque()
+        score_inflight: deque = deque()
+
+        def fetch_oldest_scores() -> None:
+            dev, chunk, pv, k = score_inflight.popleft()
+            s = self.scorer.fetch_scores(dev)[:k]
+            events.extend(
+                ScoreEvent(video=v, track_id=int(p["track_id"]),
+                           frame_end=int(p["frames"][-1]),
+                           timestamp_ms=float(p["stamp"]), score=float(sc),
+                           frames=[int(f) for f in p["frames"]])
+                for p, v, sc in zip(chunk, pv, s))
+
+        def dispatch_scores(flush: bool = False) -> None:
+            SB = self.score_batch
+            while len(pending) >= SB or (flush and pending):
+                chunk = pending[:SB]
+                pv = pending_video[:SB]
+                del pending[:SB]
+                del pending_video[:SB]
+                arr = np.stack([self._prepare_window(p["window"]) for p in chunk])
+                if arr.shape[0] < SB:  # final partial chunk: pad to the
+                    #                    compiled static batch shape
+                    pad = np.zeros((SB - arr.shape[0],) + arr.shape[1:], arr.dtype)
+                    arr = np.concatenate([arr, pad])
+                score_inflight.append(
+                    (self.scorer.score_async(arr), chunk, pv, len(chunk)))
+                while len(score_inflight) > self.score_depth:
+                    fetch_oldest_scores()
+
         eof = False
         while True:
             while not eof and len(inflight) < self.stream_depth:
@@ -319,17 +363,13 @@ class StreamingPipeline:
             process(outs, m, kk)
             stage["track"] += time.perf_counter() - t3
             t4 = time.perf_counter()
-            while len(pending) >= self.score_batch:
-                chunk = pending[: self.score_batch]
-                pv = pending_video[: self.score_batch]
-                events.extend(self._score_pending_multi(chunk, pv))
-                del pending[: self.score_batch]
-                del pending_video[: self.score_batch]
+            dispatch_scores()
             stage["score"] += time.perf_counter() - t4
-        if pending:
-            t3 = time.perf_counter()
-            events.extend(self._score_pending_multi(pending, pending_video))
-            stage["score"] += time.perf_counter() - t3
+        t5 = time.perf_counter()
+        dispatch_scores(flush=True)
+        while score_inflight:
+            fetch_oldest_scores()
+        stage["score"] += time.perf_counter() - t5
         return events, n_frames
 
     def _score_pending_multi(self, pending: List[Dict[str, Any]], videos: List[str]) -> List[ScoreEvent]:

@@ -133,9 +133,16 @@ def run_sweep(
     output_dir: str,
     verbose: bool = False,
     max_configs: Optional[int] = None,
+    timeout_seconds: Optional[float] = 7200.0,
 ) -> List[Dict[str, Any]]:
     """Train each config in-process, harvest best AUC, write incremental
-    sweep_results.json (reference: sweep.py:158-266)."""
+    sweep_results.json (reference: sweep.py:158-266).
+
+    timeout_seconds bounds each config's wall clock (default 2 h, the
+    reference's per-config subprocess timeout, sweep.py:189-195): the trainer
+    checks the budget between epochs (training.max_seconds) and stops the run
+    with whatever best checkpoint it has — a hung/slow config can no longer
+    stall the whole sweep. None/0 disables the bound."""
     from cvsd_tpu.train.loop import Trainer  # local import: heavy
 
     os.makedirs(output_dir, exist_ok=True)
@@ -151,12 +158,14 @@ def run_sweep(
     for i, cfg in enumerate(configs):
         name = cfg["experiment"]["name"]
         cfg = merge_configs(cfg, {"experiment": {"checkpoint_dir": os.path.join(output_dir, name)}})
+        if timeout_seconds:
+            cfg = merge_configs(cfg, {"training": {"max_seconds": float(timeout_seconds)}})
         t0 = time.time()
         entry: Dict[str, Any] = {"name": name, "index": i, "config": Config(cfg).to_dict()}
         try:
             artifact = Trainer(cfg, verbose=verbose).setup().fit()
             entry.update(
-                status="ok",
+                status="timeout" if artifact.get("timed_out") else "ok",
                 best_auc=artifact["best_auc"],
                 best_epoch=artifact["best_epoch"],
                 test_metrics=artifact["test_metrics"],
@@ -178,7 +187,10 @@ def run_sweep(
 
 def analyze_results(results: List[Dict[str, Any]], top_k: int = 5) -> Dict[str, Any]:
     """Top-k configs + per-parameter mean-AUC importance (reference: sweep.py:271-328)."""
-    ok = [r for r in results if r.get("status") == "ok" and r.get("best_auc") is not None]
+    # timed-out runs that still recorded a best checkpoint rank alongside
+    # completed ones; never-evaluated runs (best_auc sentinel -1) drop out
+    ok = [r for r in results if r.get("status") in ("ok", "timeout")
+          and r.get("best_auc") is not None and r["best_auc"] >= 0.0]
     ranked = sorted(ok, key=lambda r: r["best_auc"], reverse=True)
     analysis: Dict[str, Any] = {
         "num_ok": len(ok),

@@ -74,6 +74,8 @@ class Trainer:
         self.best_auc = -1.0
         self.best_epoch = -1
         self._opts: Dict[int, Any] = {}
+        self._fit_deadline: Optional[float] = None
+        self.timed_out = False
 
     # -- setup ----------------------------------------------------------------
 
@@ -262,6 +264,15 @@ class Trainer:
                 mode="min" if stage == 1 else "max",
             )
 
+        # wall-clock budget (training.max_seconds, 0 = unlimited) checked
+        # between epochs — the in-process analog of the reference sweep's
+        # 2 h per-config subprocess timeout (reference sweep.py:189-195);
+        # fit() arms one shared deadline spanning both stages
+        max_seconds = float(t.get("max_seconds", 0) or 0)
+        if max_seconds > 0 and getattr(self, "_fit_deadline", None) is None:
+            self._fit_deadline = time.perf_counter() + max_seconds
+        deadline = getattr(self, "_fit_deadline", None)
+
         mult = self._data_multiple()
         ckpt_every = int(t.get("checkpoint_every_n_epochs", 0) or 0)
         eval_every = int(t.get("eval_every_n_epochs", 1) or 1)
@@ -362,6 +373,13 @@ class Trainer:
                 if "auc_roc" in record:
                     msg += f" auc={record['auc_roc']:.4f}"
                 print(msg + f" ({dt:.1f}s)")
+            if deadline is not None and time.perf_counter() > deadline:
+                record["aborted"] = "max_seconds exceeded"
+                self.timed_out = True
+                if self.verbose:
+                    print(f"[stage{stage}] ABORT at epoch {epoch}: "
+                          f"training.max_seconds budget exceeded")
+                break
 
         self.ckpt.save_final(stage, self._ckpt_state(state), metrics={"loss": epoch_loss},
                              history=self.history)
@@ -415,6 +433,11 @@ class Trainer:
     def fit(self, start_stage: int = 1, resume_checkpoint: Optional[str] = None) -> Dict[str, Any]:
         """Run both stages; supports --stage/--checkpoint resume semantics
         (reference: shopformer_2/train.py:511-537)."""
+        max_s = float(self.config["training"].get("max_seconds", 0) or 0)
+        if max_s > 0 and self._fit_deadline is None:
+            # one budget for the WHOLE fit (both stages), armed here so a
+            # slow stage 1 can't hand stage 2 a fresh clock
+            self._fit_deadline = time.perf_counter() + max_s
         if resume_checkpoint:
             self.load_model_state(resume_checkpoint)
         elif start_stage == 2 and self.ckpt.exists("stage1_best"):
@@ -432,6 +455,7 @@ class Trainer:
         artifact = {
             "config": self.config.to_dict(),
             "history": self.history,
+            "timed_out": self.timed_out,
             "best_auc": self.best_auc,
             "best_epoch": self.best_epoch,
             "test_metrics": results["frame_level"],

@@ -152,7 +152,7 @@ def import_yolov5u(
 
     dfl_w = sd.get("model.24.dfl.conv.weight")
     if dfl_w is not None:
-        expected = np.arange(16, dtype=np.float32)
+        expected = np.arange(model.reg_max, dtype=np.float32)
         got = _to_numpy(dfl_w).reshape(-1)
         if not np.allclose(got, expected):
             raise ValueError("DFL conv weight is not arange(reg_max); unsupported head")
@@ -220,7 +220,18 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     package; exporting its .state_dict() first avoids that dependency)."""
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # weights_only=True refuses to execute arbitrary pickle code — the
+        # safe default for third-party downloads (plain state dicts load fine)
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"{path}: not loadable with weights_only=True; falling back to full "
+            "unpickling, which EXECUTES code embedded in the file. Only do this "
+            "for checkpoints you trust.", RuntimeWarning)
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict):
         inner = obj.get("model", obj)
     else:

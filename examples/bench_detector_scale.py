@@ -1,0 +1,119 @@
+"""Detector scale-point bench: v5m channels vs lane-aligned (128-multiple)
+channels — proves or refutes PROFILE.md's lane-padding hypothesis.
+
+PROFILE.md attributes the 49 ms vs 26 ms bandwidth-floor gap at the v5m point
+(B=64/640) to sub-128 channel counts (48 @ 320^2, 96 @ 160^2) padding the
+TPU (8,128) tile lane dim (up to 2.7x HBM amplification) plus CSP concat
+re-reads. The v5m counts exist only for ultralytics weight import; from-
+scratch configs are free to round channels to 128 (detector.channel_divisor).
+
+For each scale point this measures steady-state fwd ms/batch and fps with
+the bench.py timing pattern (device-resident input, chained device-side
+reduction, ONE final scalar fetch — block_until_ready is unreliable through
+the relay) and reports XLA's FLOP / HBM-bytes cost analysis per batch.
+
+Run (real TPU): python examples/bench_detector_scale.py [--batch 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+POINTS = [
+    # name, width_mult, channel_divisor
+    ("v5m (0.75/div8: 48-96-192-384-768)", 0.75, 8),
+    ("lane128 (0.75/div128: 128-128-256-384-768)", 0.75, 128),
+    ("half (0.375/div8: 24-48-96-192-384)", 0.375, 8),
+    ("half-lane128 (0.375/div128: 128-..-384)", 0.375, 128),
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--depth-mult", type=float, default=0.67)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from cvsd_tpu.config import get_default_config
+    from cvsd_tpu.pipeline.preprocess import DetectionPipeline
+
+    backend = jax.default_backend()
+    batch, iters = args.batch, args.iters
+    if backend != "tpu":
+        batch, iters = min(batch, 2), min(iters, 2)
+    src_h, src_w = 240, 320
+    print(f"backend={backend} batch={batch} img={args.img}")
+
+    rng = np.random.default_rng(0)
+    buffers = [jnp.asarray(rng.integers(0, 255, (batch, src_h, src_w, 3)).astype(np.uint8))
+               for _ in range(min(4, iters))]
+    frames = [buffers[i % len(buffers)] for i in range(iters)]
+    for f in buffers:
+        float(jnp.sum(f.astype(jnp.float32)))
+
+    reduce_ = jax.jit(lambda outs: sum(jnp.sum(o.astype(jnp.float32)) for o in outs))
+    results = []
+    for name, wm, div in POINTS:
+        cfg = get_default_config()
+        cfg["detector"].update(img_size=args.img, width_mult=wm, channel_divisor=div,
+                               depth_mult=args.depth_mult,
+                               dtype="bfloat16" if backend == "tpu" else "float32")
+        pipe = DetectionPipeline(cfg)
+        full = pipe._full_fn(src_h, src_w)
+
+        # XLA cost analysis: FLOPs + HBM bytes for the whole fused program
+        flops = hbm = None
+        try:
+            lowered = jax.jit(full).lower(pipe.variables, frames[0])
+            cost = lowered.compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            hbm = float(cost.get("bytes accessed", 0.0))
+        except Exception as e:  # noqa: BLE001
+            print(f"  cost analysis unavailable: {e}")
+
+        t0 = time.perf_counter()
+        float(reduce_(full(pipe.variables, frames[0])))
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = jnp.float32(0)
+            for f in frames:
+                acc = acc + reduce_(full(pipe.variables, f))
+            float(acc)
+            best = min(best, time.perf_counter() - t0)
+        ms = 1000 * best / iters
+        fps = batch * iters / best
+        row = {"point": name, "width_mult": wm, "channel_divisor": div,
+               "ms_per_batch": round(ms, 2), "fps": round(fps, 1),
+               "compile_s": round(compile_s, 1),
+               "tflop_per_batch": round(flops / 1e12, 3) if flops else None,
+               "hbm_gb_per_batch": round(hbm / 1e9, 2) if hbm else None,
+               "eff_tflops": round(flops / 1e12 / (best / iters), 1) if flops else None,
+               "hbm_gbps": round(hbm / 1e9 / (best / iters), 0) if hbm else None}
+        results.append(row)
+        print(json.dumps(row))
+    print(json.dumps({"results": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -135,6 +135,28 @@ def test_sweep_captures_failures(tmp_path):
     assert "divisible" in results[0]["error"]
 
 
+def test_sweep_per_config_timeout(tmp_path):
+    """A slow config is stopped by the per-config wall-clock budget between
+    epochs (reference sweep.py:189-195 kills its 2 h subprocess; here
+    training.max_seconds aborts in-process) without stalling the sweep."""
+    slow = merge_configs(get_default_config(), {
+        "data": {"dataset": "synthetic", "batch_size": 16,
+                 "synthetic": {"num_train": 32, "num_test": 32}},
+        "model": {"hidden_channels": 8},
+        # enough requested epochs that an unbounded run would take far longer
+        "training": {"stage1_epochs": 200, "stage2_epochs": 200},
+    })
+    slow["experiment"]["name"] = "slow"
+    results = run_sweep([slow], str(tmp_path / "sweep"), timeout_seconds=0.5)
+    assert results[0]["status"] == "timeout"
+    # the run still produced a result (not a crash) and stopped early
+    hist = json.load(open(tmp_path / "sweep" / "slow" / "training_history.json"))
+    n_epochs = len(hist["stage1"]) + len(hist["stage2"])
+    assert 0 < n_epochs < 400
+    assert any("max_seconds" in str(r.get("aborted", "")) for s in ("stage1", "stage2")
+               for r in hist[s])
+
+
 def test_analyze_results_importance():
     results = [
         {"status": "ok", "name": "a", "best_auc": 0.8,

@@ -75,6 +75,58 @@ def test_stream_videos_concurrent_matches_sequential(streaming, tmp_path_factory
         assert abs(seq_scores[key(e)] - e.score) < 1e-4
 
 
+def test_streaming_on_mesh_matches_single_device(streaming, tmp_path_factory):
+    """Multi-chip streaming (SURVEY: shard concurrent video streams across
+    chips): frame batches sharded over the data mesh axis produce events
+    identical to single-device streaming."""
+    import jax
+
+    from cvsd_tpu.data.video import write_test_video
+    from cvsd_tpu.parallel import MeshConfig
+
+    pipe, video = streaming
+    v2 = write_test_video(str(tmp_path_factory.mktemp("svm") / "m.mp4"),
+                          num_frames=25, width=320, height=240, seed=5)
+    out_single = pipe.stream_videos_concurrent([video, v2], max_streams=2)
+
+    mc = MeshConfig.from_config(pipe.config)
+    pipe_mesh = StreamingPipeline(
+        pipe.config, pipe.scorer,
+        detector_variables=jax.device_get(pipe.detection.variables),
+        mesh_config=mc)
+    assert pipe_mesh.detection.mesh_config is not None
+    out_mesh = pipe_mesh.stream_videos_concurrent([video, v2], max_streams=2)
+
+    key = lambda e: (e.video, e.track_id, e.frame_end)  # noqa: E731
+    assert sorted(map(key, out_mesh["events"])) == sorted(map(key, out_single["events"]))
+    scores = {key(e): e.score for e in out_single["events"]}
+    for e in out_mesh["events"]:
+        assert abs(scores[key(e)] - e.score) < 1e-3
+
+
+def test_streaming_score_depth_does_not_change_events(streaming, tmp_path_factory):
+    """Pipelined scoring (score_stream_depth>1) is a scheduling change only:
+    the emitted event set and scores match a depth-1 run."""
+    import copy
+
+    import jax
+
+    pipe, video = streaming
+    base = {}
+    for depth in (1, 4):
+        cfg = copy.deepcopy(dict(pipe.config))
+        cfg["detector"]["score_stream_depth"] = depth
+        p = StreamingPipeline(cfg, pipe.scorer,
+                              detector_variables=jax.device_get(pipe.detection.variables))
+        out = p.stream_videos_concurrent([video], max_streams=1)
+        base[depth] = out["events"]
+    key = lambda e: (e.video, e.track_id, e.frame_end)  # noqa: E731
+    assert sorted(map(key, base[1])) == sorted(map(key, base[4]))
+    s1 = {key(e): e.score for e in base[1]}
+    for e in base[4]:
+        assert abs(s1[key(e)] - e.score) < 1e-5
+
+
 def test_streaming_events_join_with_annotations(streaming):
     """Live pipeline -> evaluate_streaming GT join (the cli.stream
     --annotations path): events group by video, AUC computed over videos."""

@@ -256,6 +256,77 @@ def test_import_keeps_fresh_keypoint_branch():
     assert out["p3"].shape[-1] == 64 + 80 + 17 * 3
 
 
+def test_import_real_scale_v5m_keymap_shapes_and_numerics():
+    """The REAL yolov5mu scale point (width 0.75 / depth 0.67): every key in a
+    real-layout state dict maps with matching shapes (channel rounding, C3
+    depths d(6)=4 / d(9)=6, DFL head widths), and the imported forward matches
+    the torch mirror — so rounding/key-map bugs at the deployment scale can't
+    hide behind the tiny CPU-speed point."""
+    wm, dm = 0.75, 0.67
+    sd = synthesize_state_dict(depth_mult=dm, width_mult=wm, seed=11)
+    model = PersonDetector(img_size=64, width_mult=wm, depth_mult=dm,
+                           head_variant="v8dfl", dtype=jnp.float32)
+    variables = import_yolov5u(sd, model=model)  # raises on any shape mismatch
+
+    mapped = {k for k, *_ in build_key_map(dm)}
+    extra = set(sd) - mapped - {"model.24.dfl.conv.weight"}
+    assert not extra, f"unconsumed keys at v5m scale: {sorted(extra)[:5]}"
+
+    tm = TYoloV5u(wm=wm, dm=dm)
+    tsd = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    missing, unexpected = tm.load_state_dict(tsd, strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+    tm.eval()
+    rng = np.random.default_rng(13)
+    img = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(img).permute(0, 3, 1, 2))
+    f_out = model.apply(variables, jnp.asarray(img), train=False)
+    for lvl, name in enumerate(("p3", "p4", "p5")):
+        t = t_out[lvl].permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(f_out[name]), t,
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+
+
+def test_import_uses_model_reg_max_for_dfl_check():
+    """A non-default reg_max model validates the DFL weight against ITS
+    reg_max (utils/yolo_import.py), not a hardcoded 16."""
+    sd = synthesize_state_dict(depth_mult=D_MULT, width_mult=W_MULT, reg_max=8)
+    model = PersonDetector(img_size=64, width_mult=W_MULT, depth_mult=D_MULT,
+                           head_variant="v8dfl", reg_max=8, dtype=jnp.float32)
+    variables = import_yolov5u(sd, model=model)
+    assert variables["params"]["V8DFLHead_0"]["Conv_0"]["kernel"].shape[-1] == 32
+
+
+def test_build_detector_reads_reg_max():
+    from cvsd_tpu.models.detector import build_detector
+
+    m = build_detector({"detector": {"head_variant": "v8dfl", "reg_max": 8,
+                                     "width_mult": 0.25, "depth_mult": 0.34}})
+    assert m.reg_max == 8
+
+
+def test_load_detector_cli_merges_embedded_arch(tmp_path):
+    """CLI consumers rebuild the detector from the checkpoint's embedded
+    architecture config; explicit --set detector.* overrides still win."""
+    from cvsd_tpu.cli.common import load_detector_cli
+    from cvsd_tpu.config import get_default_config
+    from cvsd_tpu.utils.checkpoint import save_checkpoint
+
+    ckpt = str(tmp_path / "det.msgpack")
+    save_checkpoint(ckpt, {"params": {}}, config={"detector": {
+        "head_variant": "v8dfl", "width_mult": 0.25, "depth_mult": 0.34,
+        "reg_max": 8, "num_classes": 80}})
+    cfg = get_default_config()
+    _, cfg2 = load_detector_cli(ckpt, cfg, ["detector.width_mult=0.5",
+                                            "training.lr=0.1"])
+    assert cfg2["detector"]["head_variant"] == "v8dfl"
+    assert cfg2["detector"]["reg_max"] == 8
+    assert float(cfg2["detector"]["width_mult"]) == 0.5  # CLI override wins
+    # original cfg untouched
+    assert cfg["detector"].get("head_variant", "anchor_free") != "v8dfl"
+
+
 def test_import_cli_roundtrip(tmp_path):
     """cli.import_yolo: torch .pt -> framework checkpoint -> rebuilt model
     detects (config embedded, v8dfl head)."""
