@@ -341,18 +341,48 @@ class StreamingPipeline:
                 while len(score_inflight) > self.score_depth:
                     fetch_oldest_scores()
 
+        # decode-ahead thread (detector.decode_thread, default on): cv2 decode
+        # releases the GIL, so producing batches in a worker thread overlaps
+        # the C decode with GIL-bound tracking/windowing even on 1 host core;
+        # batch order is preserved (single producer), so events are identical
+        if bool(self.config.get("detector", {}).get("decode_thread", True)):
+            import queue as _queue
+            import threading
+
+            q: _queue.Queue = _queue.Queue(maxsize=max(2, self.stream_depth))
+
+            def _producer() -> None:
+                while True:
+                    t0 = time.perf_counter()
+                    frames, meta, k = read_batch()
+                    stage["read"] += time.perf_counter() - t0
+                    if not k:
+                        q.put(None)
+                        return
+                    q.put((frames, meta, k))
+
+            threading.Thread(target=_producer, daemon=True).start()
+
+            def next_batch():
+                item = q.get()
+                return item if item is not None else (None, None, 0)
+        else:
+            def next_batch():
+                t0 = time.perf_counter()
+                frames, meta, k = read_batch()
+                stage["read"] += time.perf_counter() - t0
+                return (frames, meta, k) if k else (None, None, 0)
+
         eof = False
         while True:
             while not eof and len(inflight) < self.stream_depth:
-                t0 = time.perf_counter()
-                frames, meta, k = read_batch()
-                t1 = time.perf_counter()
-                stage["read"] += t1 - t0
+                frames, meta, k = next_batch()
                 if k:
+                    t1 = time.perf_counter()
                     inflight.append((self.detection.detect_frames_async(frames), meta, k))
+                    stage["detect"] += time.perf_counter() - t1
                 else:
                     eof = True
-                stage["detect"] += time.perf_counter() - t1
             if not inflight:
                 break
             dev, m, kk = inflight.popleft()
