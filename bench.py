@@ -134,6 +134,9 @@ def main() -> None:
             "compile_seconds": round(compile_s, 2),
             "ms_per_batch": round(1000 * dt / iters, 2),
             "baseline_fps": BASELINE_FPS,
+            "baseline_note": "vs 30 fps real-time; the measured reference-loop "
+                             "comparison is examples/bench_preprocess.py "
+                             "(one-frame-per-dispatch emulation, RESULTS.md)",
             "auto_canvas_fps": round(auto_fps, 2) if auto_fps else None,
             "shopformer_scores_per_sec": round(shopformer_sps, 2) if shopformer_sps else None,
         },

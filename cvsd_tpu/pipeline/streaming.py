@@ -214,6 +214,17 @@ class StreamingPipeline:
         queue = list(paths)
         B = self.detection.batch_size
         size = self.detection._canvas_size(*resolution)
+        # host_letterbox: resize+pad to the detector canvas on HOST (cv2,
+        # GIL-released in the decode thread) and upload canvas-sized uint8 —
+        # on relay-attached chips the host->device frame upload is the
+        # bottleneck (~30 MB/s tunnel), and a 240p->128 canvas is 4.7x fewer
+        # bytes. Boxes then live in canvas coords (tracker IoU is coordinate-
+        # invariant; keypoints are mapped back to source pixels with the same
+        # per-stream scale/pad as the device-letterbox path). cv2 INTER_LINEAR
+        # vs jax.image.resize 'linear' differ in low-order bits, so this is
+        # opt-in (detector.host_letterbox) rather than the default.
+        host_lb = bool(self.config.get("detector", {}).get("host_letterbox", False))
+        lb_scale, lb_px, lb_py, lb_nw, lb_nh = letterbox_params(*resolution, size)
         active: Dict[str, Dict[str, Any]] = {}
         n_frames = 0
         # per-stage wall-clock breakdown (read/detect/track/score), exposed in
@@ -249,7 +260,10 @@ class StreamingPipeline:
             stay processable even after leaving `active`."""
             nonlocal n_frames
             h, w = resolution
-            frames = np.zeros((B, h, w, 3), np.uint8)
+            if host_lb:
+                frames = np.full((B, size, size, 3), 114, np.uint8)
+            else:
+                frames = np.zeros((B, h, w, 3), np.uint8)
             meta: List[Optional[Tuple[Dict[str, Any], int, float]]] = [None] * B
             k = 0
             order = list(active.keys())
@@ -272,7 +286,11 @@ class StreamingPipeline:
                         order = list(active.keys())
                     continue
                 st["frame_no"] += 1
-                frames[k] = frame[..., ::-1]
+                if host_lb:
+                    r = cv2.resize(frame, (lb_nw, lb_nh), interpolation=cv2.INTER_LINEAR)
+                    frames[k, lb_py:lb_py + lb_nh, lb_px:lb_px + lb_nw] = r[..., ::-1]
+                else:
+                    frames[k] = frame[..., ::-1]
                 meta[k] = (st, st["frame_no"], float(st["cap"].get(cv2.CAP_PROP_POS_MSEC)))
                 k += 1
                 i += 1

@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--max-streams", type=int, default=8)
     ap.add_argument("--tta", action="store_true")
+    ap.add_argument("--stream-depth", type=int, default=3,
+                    help="detection batches kept in flight")
+    ap.add_argument("--host-letterbox", action="store_true",
+                    help="resize to canvas on host; upload canvas-size uint8 "
+                         "(4.7x fewer bytes through the relay at 240p->128)")
+    ap.add_argument("--score-batch", type=int, default=32)
     ap.add_argument("--out", default="/tmp/bench_streaming")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -57,7 +63,10 @@ def main() -> None:
     cfg = get_default_config()
     cfg["detector"].update(img_size=args.img, width_mult=0.25, depth_mult=0.34,
                            batch_size=args.batch, conf_threshold=0.3, max_detections=4,
-                           dtype="float32", pose_head=True, tta_flip=args.tta)
+                           dtype="float32", pose_head=True, tta_flip=args.tta,
+                           stream_depth=args.stream_depth,
+                           host_letterbox=args.host_letterbox)
+    cfg["data"]["batch_size"] = args.score_batch
     model = build_shopformer(cfg)
     variables = model.init_variables(jax.random.PRNGKey(0))
     scorer = ShopformerScorer(model, variables, cfg)

@@ -127,6 +127,61 @@ def test_streaming_score_depth_does_not_change_events(streaming, tmp_path_factor
         assert abs(s1[key(e)] - e.score) < 1e-5
 
 
+def test_host_letterbox_matches_device_letterbox():
+    """cv2-based host letterbox (relay-serving mode) reproduces the on-device
+    letterbox geometry and values to interpolation tolerance."""
+    import cv2
+    import jax.numpy as jnp
+
+    from cvsd_tpu.ops.letterbox import letterbox_batch, letterbox_params
+
+    # smooth natural-image-like content: on downscale, cv2 INTER_LINEAR
+    # (4-tap, the reference/ultralytics host path) and jax.image.resize
+    # 'linear' (anti-aliased) agree closely on smooth content and differ
+    # on per-pixel noise — video frames are the former
+    yy, xx = np.mgrid[0:240, 0:320].astype(np.float32)
+    img = np.stack([100 + 100 * np.sin(xx / 40), 120 + 80 * np.cos(yy / 30),
+                    60 + 0.3 * xx + 0.2 * yy], -1).clip(0, 255).astype(np.uint8)
+    frames = np.stack([img, img[::-1].copy()])
+    size = 128
+    dev = np.asarray(letterbox_batch(jnp.asarray(frames), size=size, dtype=jnp.float32))
+
+    scale, px, py, nw, nh = letterbox_params(240, 320, size)
+    host = np.full((2, size, size, 3), 114, np.uint8)
+    for b in range(2):
+        host[b, py:py + nh, px:px + nw] = cv2.resize(
+            frames[b], (nw, nh), interpolation=cv2.INTER_LINEAR)
+    host_f = host.astype(np.float32) / 255.0
+    # same geometry: padding regions identical; content within interp tolerance
+    np.testing.assert_allclose(host_f[:, :py], dev[:, :py], atol=1e-6)
+    assert np.mean(np.abs(host_f - dev)) < 0.01
+    assert np.max(np.abs(host_f - dev)) < 0.25  # edge pixels, half-pixel conventions
+
+
+def test_streaming_host_letterbox_mode(streaming, tmp_path_factory):
+    """detector.host_letterbox=true: canvas-sized uploads, finite scores,
+    same windows emitted as the device-letterbox path."""
+    import copy
+
+    import jax
+
+    pipe, video = streaming
+    cfg = copy.deepcopy(dict(pipe.config))
+    cfg["detector"]["host_letterbox"] = True
+    p = StreamingPipeline(cfg, pipe.scorer,
+                          detector_variables=jax.device_get(pipe.detection.variables))
+    out = p.stream_videos_concurrent([video], max_streams=1)
+    assert out["frames"] == 30
+    assert out["events"], "expected scored windows"
+    assert all(np.isfinite(e.score) for e in out["events"])
+    # deterministic: a second run emits identical events (the noise-video
+    # fixture + random weights makes cross-interpolation window equality
+    # meaningless; self-consistency is the invariant)
+    out2 = p.stream_videos_concurrent([video], max_streams=1)
+    key = lambda e: (e.video, e.track_id, e.frame_end, round(e.score, 6))  # noqa: E731
+    assert sorted(map(key, out["events"])) == sorted(map(key, out2["events"]))
+
+
 def test_streaming_events_join_with_annotations(streaming):
     """Live pipeline -> evaluate_streaming GT join (the cli.stream
     --annotations path): events group by video, AUC computed over videos."""
