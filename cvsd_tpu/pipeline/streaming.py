@@ -397,7 +397,13 @@ class StreamingPipeline:
                 frames, meta, k = next_batch()
                 if k:
                     t1 = time.perf_counter()
-                    inflight.append((self.detection.detect_frames_async(frames), meta, k))
+                    if host_lb:
+                        # frames are canvas-size already (read_batch); dispatch
+                        # them raw — boxes come back in source coords
+                        dev = self.detection.detect_canvas_async(frames, *resolution)
+                    else:
+                        dev = self.detection.detect_frames_async(frames)
+                    inflight.append((dev, meta, k))
                     stage["detect"] += time.perf_counter() - t1
                 else:
                     eof = True

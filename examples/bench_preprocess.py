@@ -185,6 +185,10 @@ def main() -> None:
     ap.add_argument("--depth-mult", type=float, default=0.34)
     ap.add_argument("--dtype", default=None,
                     help="detector dtype (default bfloat16 on tpu, float32 on cpu)")
+    ap.add_argument("--host-letterbox", action="store_true",
+                    help="host-side canvas resize (fewer upload bytes through "
+                         "the relay); applies to BOTH fast and naive paths")
+    ap.add_argument("--stream-depth", type=int, default=3)
     ap.add_argument("--out", default="/tmp/bench_preprocess")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the environment pre-registers "
@@ -211,7 +215,8 @@ def main() -> None:
     cfg["detector"].update(img_size=args.img, width_mult=args.width_mult,
                            depth_mult=args.depth_mult, batch_size=args.batch,
                            conf_threshold=0.3, max_detections=8, dtype=dtype,
-                           auto_size=True)
+                           auto_size=True, host_letterbox=args.host_letterbox,
+                           stream_depth=args.stream_depth)
 
     fast_dir = os.path.join(args.out, "fast")
     for d in ("fast", "fast_py", "naive_bit", "naive_t"):
