@@ -310,6 +310,178 @@ def process_video(
             "fps": n_frames / dt if dt > 0 else 0.0}
 
 
+def process_videos_multiplexed(
+    pipeline: DetectionPipeline,
+    items: Sequence[Tuple[str, int, str, str, str, bool]],
+    max_streams: int = 16,
+) -> Dict[str, Any]:
+    """Multiplex frames from up to `max_streams` same-resolution videos into
+    SHARED detector batches (the preprocess analog of
+    StreamingPipeline.stream_videos_concurrent): a 96-frame video fills only
+    1.5 B=64 batches alone, so the sequential driver drains its in-flight
+    queue at every video boundary and never reaches steady state. Round-robin
+    multiplexing keeps every batch full and the pipeline primed across video
+    boundaries. Per-video tracker state is independent and per-video frame
+    order is preserved, so emitted rows are IDENTICAL to process_video's;
+    rows are buffered per video and written in `items` order at the end, so
+    CSV bytes match the sequential driver's too.
+
+    items: (video_path, clip, label, name, csv_path, is_anomaly) per video —
+    all videos must share one source resolution (group upstream).
+    """
+    import cv2
+    from collections import deque
+
+    t0 = time.perf_counter()
+    B = pipeline.batch_size
+    depth = max(1, pipeline.stream_depth)
+    host_lb = pipeline.host_letterbox
+    queue_items = list(items)
+    # per-item buffered rows, keyed by position in `items` (write-order key)
+    rows_by_item: List[List[BBox]] = [[] for _ in items]
+    active: List[Dict[str, Any]] = []
+    src_h = src_w = None
+    lb = None  # (size, scale, px, py, nw, nh) once resolution is known
+    n_frames = 0
+    n_dets = 0
+
+    def open_next() -> bool:
+        nonlocal src_h, src_w, lb
+        while queue_items:
+            it = queue_items.pop(0)
+            path = it[0]
+            cap = cv2.VideoCapture(path)
+            if not cap.isOpened():
+                continue
+            h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            if src_h is None:
+                src_h, src_w = h, w
+                if host_lb:
+                    size = pipeline._canvas_size(h, w)
+                    lb = (size,) + letterbox_params(h, w, size)
+            elif (h, w) != (src_h, src_w):
+                raise ValueError(
+                    f"{path}: {h}x{w} differs from group resolution {src_h}x{src_w}; "
+                    "group videos by resolution before multiplexing")
+            active.append({
+                "cap": cap, "tracker": IoUTracker(), "frame_no": 0,
+                "rows": rows_by_item[len(items) - len(queue_items) - 1],
+                "clip": it[1], "label": it[2], "name": it[3], "anom": it[5],
+            })
+            return True
+        return False
+
+    while len(active) < max_streams and open_next():
+        pass
+    if not active:
+        dt = time.perf_counter() - t0
+        return {"videos": 0, "frames": 0, "rows": 0, "seconds": dt, "fps": 0.0}
+
+    def read_batch():
+        """Fill one detector batch round-robin across live streams; meta rows
+        carry (stream-state, frame_no) so EOF'd streams stay processable."""
+        nonlocal n_frames
+        if host_lb:
+            from cvsd_tpu.ops.letterbox import PAD_VALUE
+            size, _scale, px, py, nw, nh = lb
+            frames = np.full((B, size, size, 3), PAD_VALUE, np.uint8)
+        else:
+            frames = np.zeros((B, src_h, src_w, 3), np.uint8)
+        meta: List[Optional[Tuple[Dict[str, Any], int]]] = [None] * B
+        k = 0
+        i = 0
+        while k < B and active:
+            st = active[i % len(active)]
+            ok, frame = st["cap"].read()
+            if not ok:
+                st["cap"].release()
+                active.remove(st)
+                open_next()
+                continue
+            st["frame_no"] += 1
+            if host_lb:
+                r = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_LINEAR)
+                frames[k, py:py + nh, px:px + nw] = r[..., ::-1]
+            else:
+                frames[k] = frame[..., ::-1]
+            meta[k] = (st, st["frame_no"])
+            k += 1
+            i += 1
+        n_frames += k
+        return frames, meta, k
+
+    def process(outs, meta, k: int) -> None:
+        nonlocal n_dets
+        boxes_src, _xywhn, scores, valid = outs[:4]
+        for b in range(k):
+            st, frame_no = meta[b]
+            v = valid[b]
+            tracked = st["tracker"].update(boxes_src[b][v], scores[b][v])
+            n_dets += len(tracked)
+            for track_id, box, _score in tracked:
+                cx = (box[0] + box[2]) / 2.0 / src_w
+                cy = (box[1] + box[3]) / 2.0 / src_h
+                w = (box[2] - box[0]) / src_w
+                h = (box[3] - box[1]) / src_h
+                st["rows"].append(BBox(
+                    clip=st["clip"], name=st["name"], frame=frame_no,
+                    person=float(track_id), left=float(cx), top=float(cy),
+                    width=float(w), height=float(h),
+                    is_anomaly=st["anom"], anomaly=st["label"],
+                ))
+
+    # decode-ahead thread + in-flight dispatch queue: same software-pipeline
+    # shape as StreamingPipeline._stream_group (single producer => batch order
+    # preserved => rows deterministic)
+    use_thread = bool(pipeline.config.get("detector", {}).get("decode_thread", True))
+    if use_thread:
+        import queue as _queue
+        import threading
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=max(2, depth))
+
+        def _producer() -> None:
+            while True:
+                frames, meta, k = read_batch()
+                if not k:
+                    q.put(None)
+                    return
+                q.put((frames, meta, k))
+
+        threading.Thread(target=_producer, daemon=True).start()
+
+        def next_batch():
+            item = q.get()
+            return item if item is not None else (None, None, 0)
+    else:
+        def next_batch():
+            frames, meta, k = read_batch()
+            return (frames, meta, k) if k else (None, None, 0)
+
+    inflight: deque = deque()
+    eof = False
+    while True:
+        while not eof and len(inflight) < depth:
+            frames, meta, k = next_batch()
+            if k:
+                if host_lb:
+                    dev = pipeline.detect_canvas_async(frames, src_h, src_w)
+                else:
+                    dev = pipeline.detect_frames_async(frames)
+                inflight.append((dev, meta, k))
+            else:
+                eof = True
+        if not inflight:
+            break
+        dev, m, kk = inflight.popleft()
+        outs = pipeline.fetch_detections(dev)
+        process(outs, m, kk)
+    dt = time.perf_counter() - t0
+    return {"rows_by_item": rows_by_item, "frames": n_frames, "detections": n_dets,
+            "seconds": dt}
+
+
 def preprocess_ucf_crime(
     config: Dict[str, Any],
     dataset_dir: str,
@@ -321,25 +493,66 @@ def preprocess_ucf_crime(
     mesh_config: Optional[MeshConfig] = None,
     verbose: bool = True,
     pipeline: Optional[DetectionPipeline] = None,
+    max_streams: int = 1,
 ) -> Dict[str, Any]:
     """The full preprocess driver (reference: preprocess.py:5-53).
     With a mesh, frame batches shard across chips (DP inference).
-    Pass `pipeline` to reuse already-compiled programs across calls."""
+    Pass `pipeline` to reuse already-compiled programs across calls.
+    max_streams > 1 multiplexes that many videos into shared detector
+    batches (identical CSV bytes, much higher steady-state throughput)."""
     output_dir = output_dir or dataset_dir
     entries = read_train_list(os.path.join(dataset_dir, train_list), category_filter)
     if limit:
         entries = entries[:limit]
     if pipeline is None:
         pipeline = DetectionPipeline(config, variables=variables, mesh_config=mesh_config)
-    tracker = IoUTracker()
     stats: Dict[str, Any] = {"videos": 0, "frames": 0, "rows": 0, "skipped": [], "seconds": 0.0}
+
+    present = []
     for entry in entries:
         video_path = os.path.join(dataset_dir, entry.path)
         if not os.path.exists(video_path):
             if verbose:
                 print(f"Failed to load video: {entry.path}")
             stats["skipped"].append(entry.path)
-            continue
+        else:
+            present.append((entry, video_path))
+
+    if max_streams > 1:
+        from cvsd_tpu.data.video import video_info
+
+        t0 = time.perf_counter()
+        # one multiplexed pass per source resolution (entry order preserved
+        # within a group; final CSV write is one pass in full entry order)
+        groups: Dict[Tuple[int, int], List[Tuple[Any, str]]] = {}
+        for entry, video_path in present:
+            info = video_info(video_path)
+            groups.setdefault((info.height, info.width), []).append((entry, video_path))
+        rows_for_entry: Dict[int, List[BBox]] = {}
+        for _res, group in groups.items():
+            items = []
+            for entry, video_path in group:
+                csv_path, is_anomaly = route_csv(entry.label, output_dir)
+                items.append((video_path, entry.index, entry.label, entry.name,
+                              csv_path, is_anomaly))
+            r = process_videos_multiplexed(pipeline, items, max_streams=max_streams)
+            for (entry, _vp), rows in zip(group, r["rows_by_item"]):
+                rows_for_entry[entry.index] = rows
+            stats["frames"] += r["frames"]
+            stats["videos"] += len(group)
+        for entry, _video_path in present:
+            rows = rows_for_entry.get(entry.index, [])
+            stats["rows"] += len(rows)
+            if rows:
+                csv_path, is_anomaly = route_csv(entry.label, output_dir)
+                _write_rows(csv_path, rows, entry.index, entry.name, is_anomaly,
+                            entry.label)
+        stats["seconds"] = time.perf_counter() - t0
+        stats["fps"] = stats["frames"] / stats["seconds"] if stats["seconds"] else 0.0
+        return stats
+
+    tracker = IoUTracker()
+    for entry, video_path in present:
         csv_path, is_anomaly = route_csv(entry.label, output_dir)
         if verbose:
             print(f"Processing video {entry.index}: {entry.path}")

@@ -189,6 +189,9 @@ def main() -> None:
                     help="host-side canvas resize (fewer upload bytes through "
                          "the relay); applies to BOTH fast and naive paths")
     ap.add_argument("--stream-depth", type=int, default=3)
+    ap.add_argument("--max-streams", type=int, default=1,
+                    help=">1 multiplexes videos into shared detector batches "
+                         "(CSV bytes identical to the sequential driver)")
     ap.add_argument("--out", default="/tmp/bench_preprocess")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the environment pre-registers "
@@ -234,7 +237,7 @@ def main() -> None:
                          limit=1, verbose=False, pipeline=shared)  # warm compile
     t0 = time.perf_counter()
     fast = preprocess_ucf_crime(cfg, root, output_dir=fast_dir, verbose=False,
-                                pipeline=shared)
+                                pipeline=shared, max_streams=args.max_streams)
     fast["wall_seconds"] = time.perf_counter() - t0
     fast["videos_per_hour"] = fast["videos"] / fast["wall_seconds"] * 3600
     print(f"fast: {json.dumps({k: round(v, 2) if isinstance(v, float) else v for k, v in fast.items() if k != 'skipped'})}")

@@ -206,3 +206,32 @@ def test_preprocess_ucf_crime_end_to_end(ucf_dir, tmp_path):
     for r in anom + norm:  # normalized coords
         assert 0.0 <= r.left <= 1.0 and 0.0 <= r.top <= 1.0
         assert 0.0 < r.width <= 1.0 and 0.0 < r.height <= 1.0
+
+
+def test_preprocess_multiplexed_matches_sequential(ucf_dir, tmp_path):
+    """max_streams>1 multiplexes videos into shared batches; CSV bytes must be
+    identical to the sequential driver's (per-video tracker/frame order is
+    independent of multiplexing), in both letterbox modes."""
+    for host_lb in (False, True):
+        cfg = get_default_config()
+        cfg["detector"].update(
+            img_size=128, width_mult=0.25, depth_mult=0.34, batch_size=8,
+            conf_threshold=0.0, max_detections=8, dtype="float32",
+            host_letterbox=host_lb,
+        )
+        pipe = DetectionPipeline(cfg)
+        tag = "lb" if host_lb else "dev"
+        seq_dir = str(tmp_path / f"seq_{tag}")
+        mux_dir = str(tmp_path / f"mux_{tag}")
+        os.makedirs(seq_dir), os.makedirs(mux_dir)
+        s = preprocess_ucf_crime(cfg, ucf_dir, output_dir=seq_dir, verbose=False,
+                                 pipeline=pipe)
+        m = preprocess_ucf_crime(cfg, ucf_dir, output_dir=mux_dir, verbose=False,
+                                 pipeline=pipe, max_streams=4)
+        assert m["videos"] == s["videos"] == 2
+        assert m["frames"] == s["frames"] == 48
+        assert m["rows"] == s["rows"] > 0
+        for fname in sorted(os.listdir(seq_dir)):
+            with open(os.path.join(seq_dir, fname), "rb") as f1, \
+                 open(os.path.join(mux_dir, fname), "rb") as f2:
+                assert f1.read() == f2.read(), f"{tag}/{fname} differs"
