@@ -224,6 +224,7 @@ class StreamingPipeline:
         # vs jax.image.resize 'linear' differ in low-order bits, so this is
         # opt-in (detector.host_letterbox) rather than the default.
         host_lb = bool(self.config.get("detector", {}).get("host_letterbox", False))
+        lb_content = self.detection.host_lb_content
         lb_scale, lb_px, lb_py, lb_nw, lb_nh = letterbox_params(*resolution, size)
         active: Dict[str, Dict[str, Any]] = {}
         n_frames = 0
@@ -261,7 +262,10 @@ class StreamingPipeline:
             nonlocal n_frames
             h, w = resolution
             if host_lb:
-                frames = np.full((B, size, size, 3), 114, np.uint8)
+                if lb_content:  # content-only upload; device adds the padding
+                    frames = np.zeros((B, lb_nh, lb_nw, 3), np.uint8)
+                else:
+                    frames = np.full((B, size, size, 3), 114, np.uint8)
             else:
                 frames = np.zeros((B, h, w, 3), np.uint8)
             meta: List[Optional[Tuple[Dict[str, Any], int, float]]] = [None] * B
@@ -288,7 +292,10 @@ class StreamingPipeline:
                 st["frame_no"] += 1
                 if host_lb:
                     r = cv2.resize(frame, (lb_nw, lb_nh), interpolation=cv2.INTER_LINEAR)
-                    frames[k, lb_py:lb_py + lb_nh, lb_px:lb_px + lb_nw] = r[..., ::-1]
+                    if lb_content:
+                        frames[k] = r[..., ::-1]
+                    else:
+                        frames[k, lb_py:lb_py + lb_nh, lb_px:lb_px + lb_nw] = r[..., ::-1]
                 else:
                     frames[k] = frame[..., ::-1]
                 meta[k] = (st, st["frame_no"], float(st["cap"].get(cv2.CAP_PROP_POS_MSEC)))

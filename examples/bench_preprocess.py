@@ -185,13 +185,20 @@ def main() -> None:
     ap.add_argument("--depth-mult", type=float, default=0.34)
     ap.add_argument("--dtype", default=None,
                     help="detector dtype (default bfloat16 on tpu, float32 on cpu)")
-    ap.add_argument("--host-letterbox", action="store_true",
+    ap.add_argument("--host-letterbox", nargs="?", const=True, default=False,
+                    choices=[True, False, "content"],
                     help="host-side canvas resize (fewer upload bytes through "
-                         "the relay); applies to BOTH fast and naive paths")
+                         "the relay); applies to BOTH fast and naive paths. "
+                         "'content' uploads only the resized content and pads "
+                         "on device (fewest bytes, numerically identical)")
     ap.add_argument("--stream-depth", type=int, default=3)
     ap.add_argument("--max-streams", type=int, default=1,
                     help=">1 multiplexes videos into shared detector batches "
                          "(CSV bytes identical to the sequential driver)")
+    ap.add_argument("--ref-img", type=int, default=0,
+                    help="if >0, ALSO time the naive loop at the reference's "
+                         "own fixed canvas (ultralytics imgsz, e.g. 640) — "
+                         "timing-only (different canvas => rows not compared)")
     ap.add_argument("--out", default="/tmp/bench_preprocess")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the environment pre-registers "
@@ -240,7 +247,9 @@ def main() -> None:
                                 pipeline=shared, max_streams=args.max_streams)
     fast["wall_seconds"] = time.perf_counter() - t0
     fast["videos_per_hour"] = fast["videos"] / fast["wall_seconds"] * 3600
-    print(f"fast: {json.dumps({k: round(v, 2) if isinstance(v, float) else v for k, v in fast.items() if k != 'skipped'})}")
+    print(f"fast: {json.dumps({k: (round(v, 2) if isinstance(v, float) else v) for k, v in fast.items() if k not in ('skipped', 'stage_seconds')})}")
+    if fast.get("stage_seconds"):
+        print(f"fast stages: {json.dumps({k: round(v, 2) for k, v in fast['stage_seconds'].items()})}")
 
     # writer equivalence: Python csv fallback over the same pipeline
     fast_py_dir = os.path.join(args.out, "fast_py")
@@ -271,6 +280,21 @@ def main() -> None:
     naive_bit_dir = os.path.join(args.out, "naive_bit")
     run_naive(cfg, root, naive_bit_dir, args.naive_videos, shared_pipeline=shared)
 
+    # (c) optional: the naive loop at the REFERENCE's own geometry — the
+    # reference letterboxes every frame onto a fixed ultralytics canvas
+    # (model.py:36-44 YOLO defaults, imgsz=640) regardless of source size,
+    # where (a)/(b) above give the naive loop this framework's auto-canvas
+    # advantage for a strict batching-only ablation
+    naive_ref = None
+    if args.ref_img:
+        ref_cfg = json.loads(json.dumps(cfg))
+        ref_cfg["detector"].update(img_size=args.ref_img, auto_size=False,
+                                   host_letterbox=False)
+        naive_ref = run_naive(ref_cfg, root, os.path.join(args.out, "naive_t"),
+                              args.naive_videos)
+        print(f"naive @reference geometry ({args.ref_img} canvas): "
+              f"{naive_ref['fps']:.1f} fps, {naive_ref['videos_per_hour']:.0f} videos/h")
+
     cmp = compare_rows(fast_dir, naive_bit_dir, args.naive_videos)
     speedup = fast["fps"] / naive["fps"] if naive["fps"] else float("inf")
     result = {
@@ -284,6 +308,9 @@ def main() -> None:
         "writer_byte_identical": writer_identical,
         "target_20x": speedup >= 20.0,
     }
+    if naive_ref is not None:
+        result["naive_ref_geom_fps"] = round(naive_ref["fps"], 2)
+        result["speedup_vs_reference_geometry"] = round(fast["fps"] / naive_ref["fps"], 1)
     print(json.dumps(result))
 
 

@@ -212,7 +212,7 @@ def test_preprocess_multiplexed_matches_sequential(ucf_dir, tmp_path):
     """max_streams>1 multiplexes videos into shared batches; CSV bytes must be
     identical to the sequential driver's (per-video tracker/frame order is
     independent of multiplexing), in both letterbox modes."""
-    for host_lb in (False, True):
+    for host_lb in (False, True, "content"):
         cfg = get_default_config()
         cfg["detector"].update(
             img_size=128, width_mult=0.25, depth_mult=0.34, batch_size=8,
@@ -220,7 +220,7 @@ def test_preprocess_multiplexed_matches_sequential(ucf_dir, tmp_path):
             host_letterbox=host_lb,
         )
         pipe = DetectionPipeline(cfg)
-        tag = "lb" if host_lb else "dev"
+        tag = {False: "dev", True: "lb", "content": "content"}[host_lb]
         seq_dir = str(tmp_path / f"seq_{tag}")
         mux_dir = str(tmp_path / f"mux_{tag}")
         os.makedirs(seq_dir), os.makedirs(mux_dir)
@@ -235,3 +235,9 @@ def test_preprocess_multiplexed_matches_sequential(ucf_dir, tmp_path):
             with open(os.path.join(seq_dir, fname), "rb") as f1, \
                  open(os.path.join(mux_dir, fname), "rb") as f2:
                 assert f1.read() == f2.read(), f"{tag}/{fname} differs"
+    # content-only upload is numerically identical to full-canvas host
+    # letterbox (device adds the same constant-114 border): same CSV bytes
+    for fname in sorted(os.listdir(str(tmp_path / "seq_lb"))):
+        with open(str(tmp_path / "seq_lb" / fname), "rb") as f1, \
+             open(str(tmp_path / "seq_content" / fname), "rb") as f2:
+            assert f1.read() == f2.read(), f"content vs canvas {fname} differs"

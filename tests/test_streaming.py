@@ -180,6 +180,14 @@ def test_streaming_host_letterbox_mode(streaming, tmp_path_factory):
     out2 = p.stream_videos_concurrent([video], max_streams=1)
     key = lambda e: (e.video, e.track_id, e.frame_end, round(e.score, 6))  # noqa: E731
     assert sorted(map(key, out["events"])) == sorted(map(key, out2["events"]))
+    # content-only upload (device pads the constant border) is numerically
+    # identical to the full-canvas host letterbox: same events
+    cfg_c = copy.deepcopy(cfg)
+    cfg_c["detector"]["host_letterbox"] = "content"
+    pc = StreamingPipeline(cfg_c, pipe.scorer,
+                           detector_variables=jax.device_get(pipe.detection.variables))
+    out_c = pc.stream_videos_concurrent([video], max_streams=1)
+    assert sorted(map(key, out["events"])) == sorted(map(key, out_c["events"]))
 
 
 def test_streaming_events_join_with_annotations(streaming):
