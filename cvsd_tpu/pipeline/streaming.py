@@ -399,8 +399,14 @@ class StreamingPipeline:
                 return (frames, meta, k) if k else (None, None, 0)
 
         eof = False
+        # grouped fetch (detector.fetch_group): each device_get costs a full
+        # relay round-trip regardless of payload, so draining k batches per
+        # device_get divides the round-trip tax; dispatch_ahead keeps batches
+        # computing beyond the group being drained so the chip never idles
+        group = max(1, self.detection.fetch_group)
+        dispatch_ahead = self.stream_depth + group - 1
         while True:
-            while not eof and len(inflight) < self.stream_depth:
+            while not eof and len(inflight) < dispatch_ahead:
                 frames, meta, k = next_batch()
                 if k:
                     t1 = time.perf_counter()
@@ -416,12 +422,13 @@ class StreamingPipeline:
                     eof = True
             if not inflight:
                 break
-            dev, m, kk = inflight.popleft()
+            g = [inflight.popleft() for _ in range(min(group, len(inflight)))]
             t2 = time.perf_counter()
-            outs = self.detection.fetch_detections(dev)
+            outs_list = self.detection.fetch_detections_group([x[0] for x in g])
             t3 = time.perf_counter()
             stage["detect"] += t3 - t2
-            process(outs, m, kk)
+            for (_dev, m, kk), outs in zip(g, outs_list):
+                process(outs, m, kk)
             stage["track"] += time.perf_counter() - t3
             t4 = time.perf_counter()
             dispatch_scores()

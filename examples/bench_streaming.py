@@ -34,7 +34,8 @@ def main() -> None:
     ap.add_argument("--tta", action="store_true")
     ap.add_argument("--stream-depth", type=int, default=3,
                     help="detection batches kept in flight")
-    ap.add_argument("--host-letterbox", action="store_true",
+    ap.add_argument("--host-letterbox", nargs="?", const=True, default=False,
+                    choices=[True, False, "content"],
                     help="resize to canvas on host; upload canvas-size uint8 "
                          "(4.7x fewer bytes through the relay at 240p->128)")
     ap.add_argument("--score-batch", type=int, default=32)
