@@ -416,7 +416,7 @@ def make_detect_fn(
 
 def build_detector(config: Dict[str, Any]) -> PersonDetector:
     d = config.get("detector", {})
-    return PersonDetector(
+    kwargs = dict(
         img_size=int(d.get("img_size", 640)),
         width_mult=float(d.get("width_mult", 0.75)),
         depth_mult=float(d.get("depth_mult", 0.67)),
@@ -427,6 +427,14 @@ def build_detector(config: Dict[str, Any]) -> PersonDetector:
         channel_divisor=int(d.get("channel_divisor", 8)),
         dtype=jnp.dtype(d.get("dtype", "bfloat16")),
     )
+    if d.get("quantized"):
+        # int8 PTQ serving variant (cli.quantize_detector emits checkpoints
+        # with detector.quantized=true); same attribute surface, so every
+        # pipeline/detect-fn consumer works unchanged
+        from cvsd_tpu.models.detector_int8 import QuantPersonDetector
+
+        return QuantPersonDetector(**kwargs)
+    return PersonDetector(**kwargs)
 
 
 def load_detector_checkpoint(path: str):

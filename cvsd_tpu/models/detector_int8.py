@@ -1,0 +1,391 @@
+"""Post-training int8 quantization for the person detector.
+
+TPU-native serving optimization: the v5e MXU runs s8 x s8 -> s32 at twice
+the bf16 peak (394 TOPS vs 197 TFLOPS), and int8 activations halve the HBM
+bytes every conv reads. This module converts a trained
+``models.detector.PersonDetector`` checkpoint into an int8 inference model:
+
+- BatchNorm folding: every ConvBNAct's BN (scale, bias, running stats) is
+  folded into the conv kernel + a bias, eliminating the BN op entirely.
+- Weights: symmetric int8 with a PER-OUTPUT-CHANNEL scale (the standard
+  PTQ recipe — per-channel absorbs the large per-filter dynamic range of
+  conv nets at no runtime cost, the scale folds into the output rescale).
+- Activations: symmetric int8 with a per-tensor scale, calibrated by
+  running representative batches through the model in "observe" mode
+  (each quantized conv sows the absmax of its input via a max-reduce).
+- The tiny final head convs (1x1, bias, directly feeding the box/score
+  decode) stay floating point: they are <1% of the FLOPs and the decode
+  is precision-sensitive.
+
+The quantized mirror modules reuse the exact class names of
+``models.detector`` (ConvBNAct, Bottleneck, C3, SPPF, Backbone, PANNeck,
+DetectHead, V8DFLHead), so flax assigns identical scope paths and the
+converted variables tree lines up leaf-for-leaf with
+``QuantPersonDetector.init`` — structure equality is unit-tested.
+
+``QuantPersonDetector`` exposes the same attributes and
+``apply(variables, images, train=False)`` contract as PersonDetector, so
+``models.detector.make_detect_fn`` (decode + top-K + Pallas NMS, optional
+flip-TTA) works on it unchanged.
+
+Reference capability covered: /root/reference/model.py:14-81 serves its
+detector through ultralytics, whose production deployments rely on
+TensorRT int8 for the same 2x; here the quantized path is pure JAX/XLA so
+it rides the MXU's native s8 path with no extra runtime.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvsd_tpu.models.detector import PersonDetector, _round_ch, _upsample2
+
+_BN_EPS = 1e-3  # matches models.detector.ConvBNAct
+
+
+def _max_reduce(acc, val):
+    return jnp.maximum(acc, val)
+
+
+def _zero_init():
+    return jnp.zeros((), jnp.float32)
+
+
+class ConvBNAct(nn.Module):
+    """int8 conv + folded-BN bias + SiLU. Params:
+
+    - w_int8 (k,k,cin,cout) int8, w_scale (cout,) f32: folded conv kernel,
+      symmetric per-output-channel quantization
+    - bias (cout,) f32: folded BN shift
+    - act_scale () f32: per-tensor input scale (calibrated)
+
+    observe=True runs the conv in float (dequantized weights) and sows the
+    input absmax into the 'quant_stats' collection for calibration.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Any = jnp.bfloat16  # inter-layer activation dtype
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False,
+                 observe: bool = False) -> jax.Array:
+        k, s, cin = self.kernel, self.stride, x.shape[-1]
+        w_int8 = self.param("w_int8", nn.initializers.zeros,
+                            (k, k, cin, self.features), jnp.int8)
+        w_scale = self.param("w_scale", nn.initializers.ones,
+                             (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        act_scale = self.param("act_scale", nn.initializers.ones,
+                               (), jnp.float32)
+        p = (k - 1) // 2
+        pad = ((p, p), (p, p))
+        dn = ("NHWC", "HWIO", "NHWC")
+        if observe:
+            self.sow("quant_stats", "absmax",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     reduce_fn=_max_reduce, init_fn=_zero_init)
+            w_f = w_int8.astype(jnp.float32) * w_scale
+            y = jax.lax.conv_general_dilated(
+                x.astype(jnp.float32), w_f, (s, s), pad, dimension_numbers=dn)
+            y = y + bias
+        else:
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / act_scale),
+                          -127.0, 127.0).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, w_int8, (s, s), pad, dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * (act_scale * w_scale) + bias
+        return nn.silu(y).astype(self.dtype)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    shortcut: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train=False, observe=False):
+        y = ConvBNAct(self.features, 1, dtype=self.dtype)(x, train, observe)
+        y = ConvBNAct(self.features, 3, dtype=self.dtype)(y, train, observe)
+        return x + y if (self.shortcut and x.shape[-1] == self.features) else y
+
+
+class C3(nn.Module):
+    features: int
+    n: int = 1
+    shortcut: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train=False, observe=False):
+        c_h = self.features // 2
+        a = ConvBNAct(c_h, 1, dtype=self.dtype)(x, train, observe)
+        b = ConvBNAct(c_h, 1, dtype=self.dtype)(x, train, observe)
+        for _ in range(self.n):
+            a = Bottleneck(c_h, self.shortcut, dtype=self.dtype)(a, train, observe)
+        return ConvBNAct(self.features, 1, dtype=self.dtype)(
+            jnp.concatenate([a, b], -1), train, observe)
+
+
+class SPPF(nn.Module):
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train=False, observe=False):
+        c_h = self.features // 2
+        x = ConvBNAct(c_h, 1, dtype=self.dtype)(x, train, observe)
+        pool = lambda v: nn.max_pool(v, (5, 5), strides=(1, 1), padding="SAME")  # noqa: E731
+        p1 = pool(x)
+        p2 = pool(p1)
+        p3 = pool(p2)
+        return ConvBNAct(self.features, 1, dtype=self.dtype)(
+            jnp.concatenate([x, p1, p2, p3], -1), train, observe)
+
+
+class Backbone(nn.Module):
+    width_mult: float = 0.75
+    depth_mult: float = 0.67
+    channel_divisor: int = 8
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train=False, observe=False):
+        w = lambda c: _round_ch(c * self.width_mult, self.channel_divisor)  # noqa: E731
+        d = lambda n: max(1, round(n * self.depth_mult))  # noqa: E731
+        x = ConvBNAct(w(64), 6, 2, dtype=self.dtype)(x, train, observe)
+        x = ConvBNAct(w(128), 3, 2, dtype=self.dtype)(x, train, observe)
+        x = C3(w(128), d(3), dtype=self.dtype)(x, train, observe)
+        x = ConvBNAct(w(256), 3, 2, dtype=self.dtype)(x, train, observe)
+        p3 = x = C3(w(256), d(6), dtype=self.dtype)(x, train, observe)
+        x = ConvBNAct(w(512), 3, 2, dtype=self.dtype)(x, train, observe)
+        p4 = x = C3(w(512), d(9), dtype=self.dtype)(x, train, observe)
+        x = ConvBNAct(w(1024), 3, 2, dtype=self.dtype)(x, train, observe)
+        x = C3(w(1024), d(3), dtype=self.dtype)(x, train, observe)
+        p5 = SPPF(w(1024), dtype=self.dtype)(x, train, observe)
+        return p3, p4, p5
+
+
+class PANNeck(nn.Module):
+    width_mult: float = 0.75
+    depth_mult: float = 0.67
+    channel_divisor: int = 8
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats, train=False, observe=False):
+        p3, p4, p5 = feats
+        w = lambda c: _round_ch(c * self.width_mult, self.channel_divisor)  # noqa: E731
+        d = lambda n: max(1, round(n * self.depth_mult))  # noqa: E731
+        t5 = ConvBNAct(w(512), 1, dtype=self.dtype)(p5, train, observe)
+        x = jnp.concatenate([_upsample2(t5), p4], -1)
+        x = C3(w(512), d(3), shortcut=False, dtype=self.dtype)(x, train, observe)
+        t4 = ConvBNAct(w(256), 1, dtype=self.dtype)(x, train, observe)
+        x = jnp.concatenate([_upsample2(t4), p3], -1)
+        n3 = C3(w(256), d(3), shortcut=False, dtype=self.dtype)(x, train, observe)
+        x = ConvBNAct(w(256), 3, 2, dtype=self.dtype)(n3, train, observe)
+        x = jnp.concatenate([x, t4], -1)
+        n4 = C3(w(512), d(3), shortcut=False, dtype=self.dtype)(x, train, observe)
+        x = ConvBNAct(w(512), 3, 2, dtype=self.dtype)(n4, train, observe)
+        x = jnp.concatenate([x, t5], -1)
+        n5 = C3(w(1024), d(3), shortcut=False, dtype=self.dtype)(x, train, observe)
+        return n3, n4, n5
+
+
+class DetectHead(nn.Module):
+    num_keypoints: int = 0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train=False, observe=False):
+        c = x.shape[-1]
+        b = ConvBNAct(c, 3, dtype=self.dtype)(x, train, observe)
+        b = nn.Conv(4, (1, 1), dtype=self.dtype)(b)
+        s = ConvBNAct(c, 3, dtype=self.dtype)(x, train, observe)
+        s = nn.Conv(1, (1, 1), dtype=self.dtype)(s)
+        outs = [b, s]
+        if self.num_keypoints:
+            k = ConvBNAct(c, 3, dtype=self.dtype)(x, train, observe)
+            k = nn.Conv(self.num_keypoints * 3, (1, 1), dtype=self.dtype)(k)
+            outs.append(k)
+        return jnp.concatenate(outs, -1)
+
+
+class V8DFLHead(nn.Module):
+    num_classes: int = 80
+    reg_max: int = 16
+    box_ch: int = 64
+    cls_ch: int = 192
+    num_keypoints: int = 0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train=False, observe=False):
+        b = ConvBNAct(self.box_ch, 3, dtype=self.dtype)(x, train, observe)
+        b = ConvBNAct(self.box_ch, 3, dtype=self.dtype)(b, train, observe)
+        b = nn.Conv(4 * self.reg_max, (1, 1), dtype=self.dtype)(b)
+        s = ConvBNAct(self.cls_ch, 3, dtype=self.dtype)(x, train, observe)
+        s = ConvBNAct(self.cls_ch, 3, dtype=self.dtype)(s, train, observe)
+        s = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(s)
+        outs = [b, s]
+        if self.num_keypoints:
+            k = ConvBNAct(x.shape[-1], 3, dtype=self.dtype)(x, train, observe)
+            k = nn.Conv(self.num_keypoints * 3, (1, 1), dtype=self.dtype)(k)
+            outs.append(k)
+        return jnp.concatenate(outs, -1)
+
+
+class QuantPersonDetector(nn.Module):
+    """int8 mirror of PersonDetector. Same attribute surface and apply
+    contract, so ``models.detector.make_detect_fn`` and ``decode_raw``
+    accept it directly."""
+
+    img_size: int = 640
+    width_mult: float = 0.75
+    depth_mult: float = 0.67
+    num_keypoints: int = 0
+    head_variant: str = "anchor_free"
+    num_classes: int = 80
+    reg_max: int = 16
+    channel_divisor: int = 8
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images, train=False, observe=False):
+        feats = Backbone(self.width_mult, self.depth_mult, self.channel_divisor,
+                         dtype=self.dtype)(images, train, observe)
+        n3, n4, n5 = PANNeck(self.width_mult, self.depth_mult,
+                             self.channel_divisor, dtype=self.dtype)(
+                                 feats, train, observe)
+        if self.head_variant == "v8dfl":
+            ch_p3 = n3.shape[-1]
+            box_ch = max(16, ch_p3 // 4, 4 * self.reg_max)
+            cls_ch = max(ch_p3, min(self.num_classes, 100))
+            head = lambda: V8DFLHead(  # noqa: E731
+                self.num_classes, self.reg_max, box_ch, cls_ch,
+                self.num_keypoints, dtype=self.dtype)
+        else:
+            head = lambda: DetectHead(self.num_keypoints, dtype=self.dtype)  # noqa: E731
+        return {"p3": head()(n3, train, observe),
+                "p4": head()(n4, train, observe),
+                "p5": head()(n5, train, observe)}
+
+    def init_variables(self, rng, batch_size: int = 1):
+        dummy = jnp.zeros((batch_size, self.img_size, self.img_size, 3), self.dtype)
+        return self.init({"params": rng}, dummy, train=False)
+
+
+def quant_model_like(model: PersonDetector) -> QuantPersonDetector:
+    """The int8 mirror with the same hyperparameters."""
+    return QuantPersonDetector(
+        img_size=model.img_size, width_mult=model.width_mult,
+        depth_mult=model.depth_mult, num_keypoints=model.num_keypoints,
+        head_variant=model.head_variant, num_classes=model.num_classes,
+        reg_max=model.reg_max, channel_divisor=model.channel_divisor,
+        dtype=model.dtype)
+
+
+def _fold_conv_bn(conv_kernel, bn_scale, bn_bias, bn_mean, bn_var):
+    """Fold BN(y) = gamma*(y-mean)/sqrt(var+eps) + beta into the conv:
+    W' = W * gamma/sqrt(var+eps) (per out channel), b' = beta - mean*g."""
+    g = np.asarray(bn_scale, np.float32) / np.sqrt(
+        np.asarray(bn_var, np.float32) + _BN_EPS)
+    w = np.asarray(conv_kernel, np.float32) * g  # broadcasts over last dim
+    b = np.asarray(bn_bias, np.float32) - np.asarray(bn_mean, np.float32) * g
+    return w, b
+
+
+def _quantize_weight(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-output-channel int8: scale[c] = absmax[...,c]/127."""
+    absmax = np.max(np.abs(w), axis=(0, 1, 2))
+    scale = np.maximum(absmax / 127.0, 1e-12).astype(np.float32)
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def convert_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """PersonDetector variables (params + batch_stats) -> QuantPersonDetector
+    variables: every {Conv_0, BatchNorm_0} pair becomes
+    {w_int8, w_scale, bias, act_scale=1}; plain head convs pass through.
+    Activation scales start at 1.0 — run ``calibrate`` before inference."""
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    def walk(p: Dict[str, Any], bs: Dict[str, Any]) -> Dict[str, Any]:
+        if set(p.keys()) == {"Conv_0", "BatchNorm_0"}:  # a ConvBNAct scope
+            w, b = _fold_conv_bn(
+                p["Conv_0"]["kernel"],
+                p["BatchNorm_0"]["scale"], p["BatchNorm_0"]["bias"],
+                bs["BatchNorm_0"]["mean"], bs["BatchNorm_0"]["var"])
+            w_int8, w_scale = _quantize_weight(w)
+            return {"w_int8": jnp.asarray(w_int8),
+                    "w_scale": jnp.asarray(w_scale),
+                    "bias": jnp.asarray(b),
+                    "act_scale": jnp.ones((), jnp.float32)}
+        out = {}
+        for k, v in p.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, bs.get(k, {}))
+            else:
+                out[k] = v  # plain head conv kernel/bias leaves
+        return out
+
+    return {"params": walk(params, batch_stats)}
+
+
+def calibrate(
+    qmodel: QuantPersonDetector,
+    qvariables: Dict[str, Any],
+    batches: Iterable[np.ndarray],
+    margin: float = 1.0,
+) -> Dict[str, Any]:
+    """Set every act_scale from the observed input absmax over the
+    calibration batches (letterboxed images, (B,S,S,3) in [0,1]).
+    margin scales the range (e.g. 1.0 = exact absmax clipping)."""
+    observe = jax.jit(lambda v, x: qmodel.apply(
+        v, x, train=False, observe=True, mutable=["quant_stats"])[1])
+    acc: Optional[Dict[str, Any]] = None
+    for batch in batches:
+        stats = jax.device_get(observe(qvariables, jnp.asarray(batch)))
+        stats = stats["quant_stats"]
+        acc = stats if acc is None else jax.tree_util.tree_map(np.maximum, acc, stats)
+    if acc is None:
+        raise ValueError("calibrate: no batches given")
+
+    params = qvariables["params"]
+
+    def write(p, s):
+        if "act_scale" in p and not isinstance(p["act_scale"], dict):
+            absmax = float(np.asarray(s["absmax"]))
+            out = dict(p)
+            out["act_scale"] = jnp.asarray(
+                max(absmax * margin / 127.0, 1e-12), jnp.float32)
+            return out
+        return {k: (write(v, s[k]) if isinstance(v, dict) and k in s else v)
+                for k, v in p.items()}
+
+    return {"params": write(params, acc)}
+
+
+def quantize_detector(
+    model: PersonDetector,
+    variables: Dict[str, Any],
+    calibration_batches: Iterable[np.ndarray],
+    margin: float = 1.0,
+) -> Tuple[QuantPersonDetector, Dict[str, Any]]:
+    """One-call PTQ: fold BN, quantize weights per-channel, calibrate
+    activation scales. Returns (qmodel, qvariables) ready for
+    ``models.detector.make_detect_fn(qmodel, ...)``."""
+    qmodel = quant_model_like(model)
+    qvars = convert_variables(variables)
+    qvars = calibrate(qmodel, qvars, calibration_batches, margin=margin)
+    return qmodel, qvars
