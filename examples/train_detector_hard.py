@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--width", type=float, default=0.375)
     ap.add_argument("--depth", type=float, default=0.34)
     ap.add_argument("--out", default="examples/detector_hard_results.json")
+    ap.add_argument("--save-checkpoint", default=None,
+                    help="also save the trained detector (.msgpack) for reuse "
+                         "(e.g. examples/eval_int8_accuracy.py)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -90,6 +93,9 @@ def main() -> None:
         "keypoints": res.get("keypoints"),
         "seconds": round(time.time() - t0, 1),
     }
+    if args.save_checkpoint:
+        trainer.save(args.save_checkpoint, use_ema=False)
+        print(f"saved checkpoint -> {args.save_checkpoint}")
     print(json.dumps(summary, indent=2))
     with open(args.out, "w") as f:
         json.dump({**summary,
