@@ -57,8 +57,13 @@ def _zero_init():
     return jnp.zeros((), jnp.float32)
 
 
+def _ste(x_quantized: jax.Array, x: jax.Array) -> jax.Array:
+    """Straight-through estimator: forward = quantized value, gradient = 1."""
+    return x + jax.lax.stop_gradient(x_quantized - x)
+
+
 class ConvBNAct(nn.Module):
-    """int8 conv + folded-BN bias + SiLU. Params:
+    """int8 conv + folded-BN bias + SiLU. Params (serving mode):
 
     - w_int8 (k,k,cin,cout) int8, w_scale (cout,) f32: folded conv kernel,
       symmetric per-output-channel quantization
@@ -67,17 +72,43 @@ class ConvBNAct(nn.Module):
 
     observe=True runs the conv in float (dequantized weights) and sows the
     input absmax into the 'quant_stats' collection for calibration.
+
+    qat=True switches to quantization-aware fine-tuning: the kernel is a
+    trainable FLOAT param 'w' fake-quantized per output channel with a
+    straight-through estimator (scale recomputed from |w| each step, the
+    standard BN-folded QAT recipe), and the input is fake-quantized with the
+    frozen calibrated act_scale. finalize_qat() rounds the result to the
+    serving int8 layout.
     """
 
     features: int
     kernel: int = 3
     stride: int = 1
     dtype: Any = jnp.bfloat16  # inter-layer activation dtype
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  observe: bool = False) -> jax.Array:
         k, s, cin = self.kernel, self.stride, x.shape[-1]
+        p = (k - 1) // 2
+        pad = ((p, p), (p, p))
+        dn = ("NHWC", "HWIO", "NHWC")
+        if self.qat:
+            w = self.param("w", nn.initializers.zeros,
+                           (k, k, cin, self.features), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            act_scale = self.param("act_scale", nn.initializers.ones,
+                                   (), jnp.float32)
+            s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+            wq = _ste(jnp.clip(jnp.round(w / s_w), -127.0, 127.0) * s_w, w)
+            xf = x.astype(jnp.float32)
+            a = jax.lax.stop_gradient(act_scale)  # frozen calibrated range
+            xq = _ste(jnp.clip(jnp.round(xf / a), -127.0, 127.0) * a, xf)
+            y = jax.lax.conv_general_dilated(
+                xq, wq, (s, s), pad, dimension_numbers=dn) + bias
+            return nn.silu(y).astype(self.dtype)
         w_int8 = self.param("w_int8", nn.initializers.zeros,
                             (k, k, cin, self.features), jnp.int8)
         w_scale = self.param("w_scale", nn.initializers.ones,
@@ -86,9 +117,6 @@ class ConvBNAct(nn.Module):
                           (self.features,), jnp.float32)
         act_scale = self.param("act_scale", nn.initializers.ones,
                                (), jnp.float32)
-        p = (k - 1) // 2
-        pad = ((p, p), (p, p))
-        dn = ("NHWC", "HWIO", "NHWC")
         if observe:
             self.sow("quant_stats", "absmax",
                      jnp.max(jnp.abs(x.astype(jnp.float32))),
@@ -111,11 +139,12 @@ class Bottleneck(nn.Module):
     features: int
     shortcut: bool = True
     dtype: Any = jnp.bfloat16
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x, train=False, observe=False):
-        y = ConvBNAct(self.features, 1, dtype=self.dtype)(x, train, observe)
-        y = ConvBNAct(self.features, 3, dtype=self.dtype)(y, train, observe)
+        y = ConvBNAct(self.features, 1, dtype=self.dtype, qat=self.qat)(x, train, observe)
+        y = ConvBNAct(self.features, 3, dtype=self.dtype, qat=self.qat)(y, train, observe)
         return x + y if (self.shortcut and x.shape[-1] == self.features) else y
 
 
@@ -124,31 +153,33 @@ class C3(nn.Module):
     n: int = 1
     shortcut: bool = True
     dtype: Any = jnp.bfloat16
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x, train=False, observe=False):
         c_h = self.features // 2
-        a = ConvBNAct(c_h, 1, dtype=self.dtype)(x, train, observe)
-        b = ConvBNAct(c_h, 1, dtype=self.dtype)(x, train, observe)
+        a = ConvBNAct(c_h, 1, dtype=self.dtype, qat=self.qat)(x, train, observe)
+        b = ConvBNAct(c_h, 1, dtype=self.dtype, qat=self.qat)(x, train, observe)
         for _ in range(self.n):
-            a = Bottleneck(c_h, self.shortcut, dtype=self.dtype)(a, train, observe)
-        return ConvBNAct(self.features, 1, dtype=self.dtype)(
+            a = Bottleneck(c_h, self.shortcut, dtype=self.dtype, qat=self.qat)(a, train, observe)
+        return ConvBNAct(self.features, 1, dtype=self.dtype, qat=self.qat)(
             jnp.concatenate([a, b], -1), train, observe)
 
 
 class SPPF(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x, train=False, observe=False):
         c_h = self.features // 2
-        x = ConvBNAct(c_h, 1, dtype=self.dtype)(x, train, observe)
+        x = ConvBNAct(c_h, 1, dtype=self.dtype, qat=self.qat)(x, train, observe)
         pool = lambda v: nn.max_pool(v, (5, 5), strides=(1, 1), padding="SAME")  # noqa: E731
         p1 = pool(x)
         p2 = pool(p1)
         p3 = pool(p2)
-        return ConvBNAct(self.features, 1, dtype=self.dtype)(
+        return ConvBNAct(self.features, 1, dtype=self.dtype, qat=self.qat)(
             jnp.concatenate([x, p1, p2, p3], -1), train, observe)
 
 
@@ -157,21 +188,22 @@ class Backbone(nn.Module):
     depth_mult: float = 0.67
     channel_divisor: int = 8
     dtype: Any = jnp.bfloat16
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x, train=False, observe=False):
         w = lambda c: _round_ch(c * self.width_mult, self.channel_divisor)  # noqa: E731
         d = lambda n: max(1, round(n * self.depth_mult))  # noqa: E731
-        x = ConvBNAct(w(64), 6, 2, dtype=self.dtype)(x, train, observe)
-        x = ConvBNAct(w(128), 3, 2, dtype=self.dtype)(x, train, observe)
-        x = C3(w(128), d(3), dtype=self.dtype)(x, train, observe)
-        x = ConvBNAct(w(256), 3, 2, dtype=self.dtype)(x, train, observe)
-        p3 = x = C3(w(256), d(6), dtype=self.dtype)(x, train, observe)
-        x = ConvBNAct(w(512), 3, 2, dtype=self.dtype)(x, train, observe)
-        p4 = x = C3(w(512), d(9), dtype=self.dtype)(x, train, observe)
-        x = ConvBNAct(w(1024), 3, 2, dtype=self.dtype)(x, train, observe)
-        x = C3(w(1024), d(3), dtype=self.dtype)(x, train, observe)
-        p5 = SPPF(w(1024), dtype=self.dtype)(x, train, observe)
+        x = ConvBNAct(w(64), 6, 2, dtype=self.dtype, qat=self.qat)(x, train, observe)
+        x = ConvBNAct(w(128), 3, 2, dtype=self.dtype, qat=self.qat)(x, train, observe)
+        x = C3(w(128), d(3), dtype=self.dtype, qat=self.qat)(x, train, observe)
+        x = ConvBNAct(w(256), 3, 2, dtype=self.dtype, qat=self.qat)(x, train, observe)
+        p3 = x = C3(w(256), d(6), dtype=self.dtype, qat=self.qat)(x, train, observe)
+        x = ConvBNAct(w(512), 3, 2, dtype=self.dtype, qat=self.qat)(x, train, observe)
+        p4 = x = C3(w(512), d(9), dtype=self.dtype, qat=self.qat)(x, train, observe)
+        x = ConvBNAct(w(1024), 3, 2, dtype=self.dtype, qat=self.qat)(x, train, observe)
+        x = C3(w(1024), d(3), dtype=self.dtype, qat=self.qat)(x, train, observe)
+        p5 = SPPF(w(1024), dtype=self.dtype, qat=self.qat)(x, train, observe)
         return p3, p4, p5
 
 
@@ -180,41 +212,43 @@ class PANNeck(nn.Module):
     depth_mult: float = 0.67
     channel_divisor: int = 8
     dtype: Any = jnp.bfloat16
+    qat: bool = False
 
     @nn.compact
     def __call__(self, feats, train=False, observe=False):
         p3, p4, p5 = feats
         w = lambda c: _round_ch(c * self.width_mult, self.channel_divisor)  # noqa: E731
         d = lambda n: max(1, round(n * self.depth_mult))  # noqa: E731
-        t5 = ConvBNAct(w(512), 1, dtype=self.dtype)(p5, train, observe)
+        t5 = ConvBNAct(w(512), 1, dtype=self.dtype, qat=self.qat)(p5, train, observe)
         x = jnp.concatenate([_upsample2(t5), p4], -1)
-        x = C3(w(512), d(3), shortcut=False, dtype=self.dtype)(x, train, observe)
-        t4 = ConvBNAct(w(256), 1, dtype=self.dtype)(x, train, observe)
+        x = C3(w(512), d(3), shortcut=False, dtype=self.dtype, qat=self.qat)(x, train, observe)
+        t4 = ConvBNAct(w(256), 1, dtype=self.dtype, qat=self.qat)(x, train, observe)
         x = jnp.concatenate([_upsample2(t4), p3], -1)
-        n3 = C3(w(256), d(3), shortcut=False, dtype=self.dtype)(x, train, observe)
-        x = ConvBNAct(w(256), 3, 2, dtype=self.dtype)(n3, train, observe)
+        n3 = C3(w(256), d(3), shortcut=False, dtype=self.dtype, qat=self.qat)(x, train, observe)
+        x = ConvBNAct(w(256), 3, 2, dtype=self.dtype, qat=self.qat)(n3, train, observe)
         x = jnp.concatenate([x, t4], -1)
-        n4 = C3(w(512), d(3), shortcut=False, dtype=self.dtype)(x, train, observe)
-        x = ConvBNAct(w(512), 3, 2, dtype=self.dtype)(n4, train, observe)
+        n4 = C3(w(512), d(3), shortcut=False, dtype=self.dtype, qat=self.qat)(x, train, observe)
+        x = ConvBNAct(w(512), 3, 2, dtype=self.dtype, qat=self.qat)(n4, train, observe)
         x = jnp.concatenate([x, t5], -1)
-        n5 = C3(w(1024), d(3), shortcut=False, dtype=self.dtype)(x, train, observe)
+        n5 = C3(w(1024), d(3), shortcut=False, dtype=self.dtype, qat=self.qat)(x, train, observe)
         return n3, n4, n5
 
 
 class DetectHead(nn.Module):
     num_keypoints: int = 0
     dtype: Any = jnp.bfloat16
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x, train=False, observe=False):
         c = x.shape[-1]
-        b = ConvBNAct(c, 3, dtype=self.dtype)(x, train, observe)
+        b = ConvBNAct(c, 3, dtype=self.dtype, qat=self.qat)(x, train, observe)
         b = nn.Conv(4, (1, 1), dtype=self.dtype)(b)
-        s = ConvBNAct(c, 3, dtype=self.dtype)(x, train, observe)
+        s = ConvBNAct(c, 3, dtype=self.dtype, qat=self.qat)(x, train, observe)
         s = nn.Conv(1, (1, 1), dtype=self.dtype)(s)
         outs = [b, s]
         if self.num_keypoints:
-            k = ConvBNAct(c, 3, dtype=self.dtype)(x, train, observe)
+            k = ConvBNAct(c, 3, dtype=self.dtype, qat=self.qat)(x, train, observe)
             k = nn.Conv(self.num_keypoints * 3, (1, 1), dtype=self.dtype)(k)
             outs.append(k)
         return jnp.concatenate(outs, -1)
@@ -227,18 +261,19 @@ class V8DFLHead(nn.Module):
     cls_ch: int = 192
     num_keypoints: int = 0
     dtype: Any = jnp.bfloat16
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x, train=False, observe=False):
-        b = ConvBNAct(self.box_ch, 3, dtype=self.dtype)(x, train, observe)
-        b = ConvBNAct(self.box_ch, 3, dtype=self.dtype)(b, train, observe)
+        b = ConvBNAct(self.box_ch, 3, dtype=self.dtype, qat=self.qat)(x, train, observe)
+        b = ConvBNAct(self.box_ch, 3, dtype=self.dtype, qat=self.qat)(b, train, observe)
         b = nn.Conv(4 * self.reg_max, (1, 1), dtype=self.dtype)(b)
-        s = ConvBNAct(self.cls_ch, 3, dtype=self.dtype)(x, train, observe)
-        s = ConvBNAct(self.cls_ch, 3, dtype=self.dtype)(s, train, observe)
+        s = ConvBNAct(self.cls_ch, 3, dtype=self.dtype, qat=self.qat)(x, train, observe)
+        s = ConvBNAct(self.cls_ch, 3, dtype=self.dtype, qat=self.qat)(s, train, observe)
         s = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(s)
         outs = [b, s]
         if self.num_keypoints:
-            k = ConvBNAct(x.shape[-1], 3, dtype=self.dtype)(x, train, observe)
+            k = ConvBNAct(x.shape[-1], 3, dtype=self.dtype, qat=self.qat)(x, train, observe)
             k = nn.Conv(self.num_keypoints * 3, (1, 1), dtype=self.dtype)(k)
             outs.append(k)
         return jnp.concatenate(outs, -1)
@@ -258,23 +293,24 @@ class QuantPersonDetector(nn.Module):
     reg_max: int = 16
     channel_divisor: int = 8
     dtype: Any = jnp.bfloat16
+    qat: bool = False
 
     @nn.compact
     def __call__(self, images, train=False, observe=False):
         feats = Backbone(self.width_mult, self.depth_mult, self.channel_divisor,
-                         dtype=self.dtype)(images, train, observe)
+                         dtype=self.dtype, qat=self.qat)(images, train, observe)
         n3, n4, n5 = PANNeck(self.width_mult, self.depth_mult,
-                             self.channel_divisor, dtype=self.dtype)(
-                                 feats, train, observe)
+                             self.channel_divisor, dtype=self.dtype,
+                             qat=self.qat)(feats, train, observe)
         if self.head_variant == "v8dfl":
             ch_p3 = n3.shape[-1]
             box_ch = max(16, ch_p3 // 4, 4 * self.reg_max)
             cls_ch = max(ch_p3, min(self.num_classes, 100))
             head = lambda: V8DFLHead(  # noqa: E731
                 self.num_classes, self.reg_max, box_ch, cls_ch,
-                self.num_keypoints, dtype=self.dtype)
+                self.num_keypoints, dtype=self.dtype, qat=self.qat)
         else:
-            head = lambda: DetectHead(self.num_keypoints, dtype=self.dtype)  # noqa: E731
+            head = lambda: DetectHead(self.num_keypoints, dtype=self.dtype, qat=self.qat)  # noqa: E731
         return {"p3": head()(n3, train, observe),
                 "p4": head()(n4, train, observe),
                 "p5": head()(n5, train, observe)}
@@ -389,3 +425,87 @@ def quantize_detector(
     qvars = convert_variables(variables)
     qvars = calibrate(qmodel, qvars, calibration_batches, margin=margin)
     return qmodel, qvars
+
+
+# ---------------------------------------------------------------------------
+# Quantization-aware fine-tuning (QAT)
+# ---------------------------------------------------------------------------
+
+def qat_model_like(model: PersonDetector) -> QuantPersonDetector:
+    """The fake-quant (QAT) mirror with the same hyperparameters."""
+    return QuantPersonDetector(
+        img_size=model.img_size, width_mult=model.width_mult,
+        depth_mult=model.depth_mult, num_keypoints=model.num_keypoints,
+        head_variant=model.head_variant, num_classes=model.num_classes,
+        reg_max=model.reg_max, channel_divisor=model.channel_divisor,
+        dtype=model.dtype, qat=True)
+
+
+def _fold_to_float(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """PersonDetector variables -> QAT variables: every ConvBNAct becomes
+    {w (float, BN-folded), bias, act_scale=1}; head convs pass through."""
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    def walk(p, bs):
+        if set(p.keys()) == {"Conv_0", "BatchNorm_0"}:
+            w, b = _fold_conv_bn(
+                p["Conv_0"]["kernel"],
+                p["BatchNorm_0"]["scale"], p["BatchNorm_0"]["bias"],
+                bs["BatchNorm_0"]["mean"], bs["BatchNorm_0"]["var"])
+            return {"w": jnp.asarray(w), "bias": jnp.asarray(b),
+                    "act_scale": jnp.ones((), jnp.float32)}
+        return {k: (walk(v, bs.get(k, {})) if isinstance(v, dict) else v)
+                for k, v in p.items()}
+
+    return {"params": walk(params, batch_stats)}
+
+
+def _graft_act_scales(qat_params: Dict[str, Any], src_params: Dict[str, Any]):
+    """Copy calibrated act_scale leaves from a PTQ tree into a QAT tree."""
+    out = {}
+    for k, v in qat_params.items():
+        if k == "act_scale" and not isinstance(v, dict):
+            out[k] = src_params["act_scale"]
+        elif isinstance(v, dict):
+            out[k] = _graft_act_scales(v, src_params[k])
+        else:
+            out[k] = v
+    return out
+
+
+def prepare_qat(
+    model: PersonDetector,
+    variables: Dict[str, Any],
+    calibration_batches: Iterable[np.ndarray],
+    margin: float = 1.0,
+) -> Tuple[QuantPersonDetector, Dict[str, Any]]:
+    """Float checkpoint -> (qat_model, qat_variables) ready for fine-tuning
+    (train/qat.py): BN folded into trainable float kernels, activation scales
+    calibrated (via the PTQ observe pass) and frozen."""
+    qmodel_ptq = quant_model_like(model)
+    calibrated = calibrate(qmodel_ptq, convert_variables(variables),
+                           calibration_batches, margin=margin)
+    qat_vars = _fold_to_float(variables)
+    qat_vars = {"params": _graft_act_scales(qat_vars["params"],
+                                            calibrated["params"])}
+    return qat_model_like(model), qat_vars
+
+
+def finalize_qat(qat_variables: Dict[str, Any]) -> Dict[str, Any]:
+    """QAT variables (after fine-tuning) -> serving int8 variables.
+
+    Exact by construction: the serving forward computes
+    (round(x/a) * a) . (w_int8 * w_scale) + bias, identical arithmetic to the
+    fake-quant forward at the final weights (same scales, same rounding)."""
+
+    def walk(p):
+        if set(p.keys()) == {"w", "bias", "act_scale"}:
+            w = np.asarray(p["w"], np.float32)
+            w_int8, w_scale = _quantize_weight(w)
+            return {"w_int8": jnp.asarray(w_int8),
+                    "w_scale": jnp.asarray(w_scale),
+                    "bias": p["bias"], "act_scale": p["act_scale"]}
+        return {k: (walk(v) if isinstance(v, dict) else v) for k, v in p.items()}
+
+    return {"params": walk(qat_variables["params"])}

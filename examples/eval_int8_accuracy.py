@@ -30,6 +30,11 @@ def main() -> None:
     ap.add_argument("--calib-batches", type=int, default=8)
     ap.add_argument("--calib-batch", type=int, default=16)
     ap.add_argument("--margin", type=float, default=1.0)
+    ap.add_argument("--qat-steps", type=int, default=0,
+                    help="optional fake-quant fine-tune steps (train/qat.py) "
+                         "before re-evaluating — the PTQ-loss recovery path")
+    ap.add_argument("--qat-lr", type=float, default=1e-4)
+    ap.add_argument("--qat-batch", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0, help="must match the training run")
     ap.add_argument("--out", default="examples/int8_accuracy_results.json")
     args = ap.parse_args()
@@ -64,6 +69,40 @@ def main() -> None:
         results[name] = {"ap50": res["ap"], "num_pred": int(res["num_pred"]),
                          "keypoints": res.get("keypoints")}
         print(f"{name}: AP@50 {res['ap']:.4f}  preds {res['num_pred']}", flush=True)
+
+    if args.qat_steps:
+        from cvsd_tpu.models.detector_int8 import finalize_qat, prepare_qat
+        from cvsd_tpu.train.qat import QATFineTuner
+
+        qat_model, qat_vars = prepare_qat(model, variables, calib,
+                                          margin=args.margin)
+        tuner = QATFineTuner(qat_model, qat_vars, lr=args.qat_lr,
+                             total_steps=args.qat_steps,
+                             warmup_steps=args.qat_steps // 10)
+        ft_rng = np.random.default_rng(args.seed + 9000)
+        chunk = 25
+        done = 0
+        while done < args.qat_steps:
+            n = min(chunk, args.qat_steps - done)
+            batches = [rendered_scene_batch(ft_rng, args.qat_batch, img,
+                                            args.max_persons, seq_source)
+                       for _ in range(n)]
+            out = tuner.train_steps_scan(
+                np.stack([b[0] for b in batches]),
+                np.stack([b[1] for b in batches]),
+                np.stack([b[2] for b in batches]),
+                np.stack([b[3] for b in batches]) if model.num_keypoints else None)
+            done += n
+            print(f"  qat {done}/{args.qat_steps} loss {out['losses'][-1]:.3f}",
+                  flush=True)
+        serving_vars = finalize_qat(tuner.variables)
+        detect = make_detect_fn(qmodel, conf_thresh=0.25, iou_thresh=0.45,
+                                max_detections=16)
+        res = evaluate_detector(detect, serving_vars, ev_imgs, ev_b, ev_v, ev_k)
+        results["int8_qat"] = {"ap50": res["ap"], "num_pred": int(res["num_pred"]),
+                               "keypoints": res.get("keypoints"),
+                               "steps": args.qat_steps}
+        print(f"int8+qat: AP@50 {res['ap']:.4f}  preds {res['num_pred']}", flush=True)
 
     results["ap50_delta"] = results["int8"]["ap50"] - results["float"]["ap50"]
     results["eval_scenes"] = args.eval_size

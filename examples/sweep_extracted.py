@@ -68,6 +68,19 @@ def build_dataset(out: str, img_size: int, steps: int, pose_steps: int,
 
     rng = np.random.default_rng(0)
     print(f"== phase A: detector ({steps}) + pose ({pose_steps}) + extract {n_train}+{n_test} ==")
+    # detector/pose weights are dataset-size independent: cache them in `out`
+    # so a --train-videos 512 follow-up reuses the nets trained for 256
+    det_ckpt = os.path.join(out, "phaseA_det.msgpack")
+    pose_ckpt = os.path.join(out, "phaseA_pose.msgpack")
+    if os.path.exists(det_ckpt) and os.path.exists(pose_ckpt):
+        from cvsd_tpu.models.detector import load_detector_checkpoint
+        from cvsd_tpu.train.pose_topdown_train import load_pose_topdown_checkpoint
+
+        print(f"phase A nets cached: {det_ckpt}, {pose_ckpt}")
+        det_model, det_variables, _ = load_detector_checkpoint(det_ckpt)
+        pose_model, pose_variables, _ = load_pose_topdown_checkpoint(pose_ckpt)
+        return _extract(out, poselift_dir, marker, det_variables,
+                        pose_model, pose_variables, img_size, n_train, n_test)
     det_model = PersonDetector(img_size=img_size, width_mult=0.25, depth_mult=0.34,
                                dtype=jnp.float32)
     det_trainer = DetectorTrainer(det_model, lr=2e-3, total_steps=steps,
@@ -94,13 +107,30 @@ def build_dataset(out: str, img_size: int, steps: int, pose_steps: int,
         done += n
         print(f"  pose {done}: {out_s['losses'][-1]:.5f}", flush=True)
 
+    det_trainer.save(det_ckpt)  # EMA weights — what extraction uses below
+    pose_trainer.save(pose_ckpt)
+    return _extract(out, poselift_dir, marker, det_trainer.ema_variables,
+                    pose_model, pose_trainer.variables, img_size, n_train, n_test)
+
+
+def _extract(out, poselift_dir, marker, det_variables,
+             pose_model, pose_variables, img_size, n_train, n_test):
+    """Render train/test videos (cached by file) and extract the PoseLift
+    dataset with the trained detector + top-down pose net."""
+    from cvsd_tpu.config import get_default_config
+    from cvsd_tpu.data.render import render_pose_video
+    from cvsd_tpu.data.synthetic import SyntheticPoseLiftDataset
+    from cvsd_tpu.data.ucf_crime import TemporalAnnotation
+    from cvsd_tpu.pipeline.pose_export import export_poselift_dataset
+    from cvsd_tpu.pipeline.preprocess import DetectionPipeline
+
     cfg = get_default_config()
     cfg["detector"].update(img_size=img_size, width_mult=0.25, depth_mult=0.34,
                            batch_size=16, conf_threshold=0.3, max_detections=4,
                            dtype="float32", pose_mode="topdown")
-    det_pipeline = DetectionPipeline(cfg, variables=det_trainer.ema_variables,
+    det_pipeline = DetectionPipeline(cfg, variables=det_variables,
                                      pose_model=pose_model,
-                                     pose_variables=pose_trainer.variables)
+                                     pose_variables=pose_variables)
     T_VID = 72
     n_half = n_test // 2
     train_videos = []

@@ -171,6 +171,95 @@ def test_quantize_cli_roundtrip(tmp_path):
     assert leaf.dtype == np.int8
 
 
+def test_qat_forward_tracks_float_and_finalize_is_consistent():
+    """prepare_qat's fake-quant forward tracks the float model; finalize_qat
+    produces serving int8 variables whose forward matches the fake-quant
+    forward near-exactly (same arithmetic by construction)."""
+    from cvsd_tpu.models.detector_int8 import finalize_qat, prepare_qat
+
+    model = _float_model()
+    variables = _randomized_variables(model, seed=4)
+    qat_model, qat_vars = prepare_qat(model, variables, _calib_batches())
+
+    x = jnp.asarray(_calib_batches(1, seed=11)[0])
+    ref = np.concatenate([np.asarray(v, np.float32).reshape(-1)
+                          for v in model.apply(variables, x, train=False).values()])
+    qat_raw = qat_model.apply(qat_vars, x, train=False)
+    got = np.concatenate([np.asarray(v, np.float32).reshape(-1)
+                          for v in qat_raw.values()])
+    assert np.corrcoef(ref, got)[0, 1] > 0.99
+
+    serving_model = quant_model_like(model)
+    serving_vars = finalize_qat(qat_vars)
+    qref = serving_model.init_variables(jax.random.PRNGKey(0))
+    ref_shapes = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+                  jax.tree_util.tree_flatten_with_path(qref["params"])[0]}
+    got_shapes = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+                  jax.tree_util.tree_flatten_with_path(serving_vars["params"])[0]}
+    assert ref_shapes == got_shapes
+    serving_raw = serving_model.apply(serving_vars, x, train=False)
+    for k in qat_raw:
+        a = np.asarray(qat_raw[k], np.float32)
+        b = np.asarray(serving_raw[k], np.float32)
+        # bf16 inter-layer casts make this near- not bit-exact
+        assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-6) < 0.02, k
+
+
+def test_qat_finetune_reduces_loss_and_freezes_act_scales():
+    """A few fake-quant fine-tune steps on the synthetic rectangle fixture
+    reduce the detection loss while every calibrated act_scale stays fixed."""
+    from cvsd_tpu.models.detector_int8 import prepare_qat
+    from cvsd_tpu.train.detector_train import synthetic_detection_batch
+    from cvsd_tpu.train.qat import QATFineTuner
+
+    model = _float_model()
+    variables = _randomized_variables(model, seed=5)
+    qat_model, qat_vars = prepare_qat(model, variables, _calib_batches())
+    scales_before = {jax.tree_util.keystr(p): float(v) for p, v in
+                     jax.tree_util.tree_flatten_with_path(qat_vars["params"])[0]
+                     if p[-1].key == "act_scale"}
+
+    tuner = QATFineTuner(qat_model, qat_vars, lr=3e-4)
+    rng = np.random.default_rng(0)
+    imgs, gb, gv = synthetic_detection_batch(rng, 4, IMG)
+    first = tuner.train_step(imgs, gb, gv)["loss"]
+    losses = [first]
+    for _ in range(14):
+        imgs, gb, gv = synthetic_detection_batch(rng, 4, IMG)
+        losses.append(tuner.train_step(imgs, gb, gv)["loss"])
+    assert np.mean(losses[-5:]) < losses[0], losses
+
+    scales_after = {jax.tree_util.keystr(p): float(v) for p, v in
+                    jax.tree_util.tree_flatten_with_path(
+                        tuner.variables["params"])[0]
+                    if p[-1].key == "act_scale"}
+    assert scales_before == scales_after
+
+
+def test_qat_scan_matches_step_sequence():
+    """train_steps_scan is the same optimization as N train_step calls."""
+    from cvsd_tpu.models.detector_int8 import prepare_qat
+    from cvsd_tpu.train.detector_train import synthetic_detection_batch
+    from cvsd_tpu.train.qat import QATFineTuner
+
+    model = _float_model()
+    variables = _randomized_variables(model, seed=6)
+    qat_model, qat_vars = prepare_qat(model, variables, _calib_batches())
+    rng = np.random.default_rng(1)
+    steps = [synthetic_detection_batch(rng, 2, IMG) for _ in range(3)]
+
+    a = QATFineTuner(qat_model, qat_vars, lr=1e-3)
+    seq_losses = [a.train_step(*s)["loss"] for s in steps]
+    b = QATFineTuner(qat_model, qat_vars, lr=1e-3)
+    scan_losses = b.train_steps_scan(
+        np.stack([s[0] for s in steps]), np.stack([s[1] for s in steps]),
+        np.stack([s[2] for s in steps]))["losses"]
+    # step 0 is bit-identical; later steps drift slightly because fake-quant
+    # round() boundaries discretize tiny fusion-order differences between the
+    # two compiled programs — same trajectory, not a logic divergence
+    np.testing.assert_allclose(seq_losses, scan_losses, rtol=3e-3)
+
+
 def test_detect_fn_accepts_quant_model():
     """make_detect_fn (decode + NMS) runs unchanged on the quantized model,
     with keypoints."""
