@@ -40,6 +40,10 @@ CONFIGS = [
     ("h32_drop02", {"model.hidden_channels": 32, "model.dropout": 0.2,
                     "training.stage1_epochs": 100, "training.stage2_epochs": 100,
                     "training.lr": 1e-3}),
+    # round-3 follow-up: do the two winning axes (tok4, h64) compose?
+    ("tok4_h64", {"model.hidden_channels": 64, "model.num_tokens": 4,
+                  "training.stage1_epochs": 100, "training.stage2_epochs": 100,
+                  "training.lr": 1e-3}),
 ]
 
 
