@@ -44,15 +44,20 @@ class QATFineTuner:
     Same loss/assignment machinery as DetectorTrainer (anchor-free center
     sampling, BCE objectness + IoU box [+ keypoint] loss), but no BatchNorm
     collection — BN is already folded into the trainable kernels — and the
-    optimizer masks act_scale leaves frozen."""
+    optimizer masks act_scale leaves frozen.
+
+    mesh_config enables data-parallel fine-tuning exactly like
+    DetectorTrainer: params/opt state replicated, batches sharded over the
+    mesh's batch axis, gradient all-reduce emitted by XLA."""
 
     def __init__(self, qat_model: QuantPersonDetector, qat_variables,
                  lr: float = 1e-4, obj_pos_weight: float = 3.0,
                  kpt_weight: float = 0.05, total_steps: int = 0,
-                 warmup_steps: int = 0):
+                 warmup_steps: int = 0, mesh_config=None):
         assert qat_model.qat, "model must be built with qat=True (qat_model_like)"
         self.model = qat_model
         self.variables = qat_variables
+        self.mesh_config = mesh_config
         self.obj_pos_weight = float(obj_pos_weight)
         self.kpt_weight = float(kpt_weight)
         centers, strides = anchor_centers(qat_model.img_size)
@@ -67,7 +72,28 @@ class QATFineTuner:
             {"train": inner, "freeze": optax.set_to_zero()},
             _act_scale_labels(qat_variables["params"]))
         self.opt_state = self.opt.init(qat_variables["params"])
+        if mesh_config is not None:
+            from cvsd_tpu.parallel.mesh import replicate
+
+            self.variables = replicate(mesh_config.mesh, self.variables)
+            self.opt_state = replicate(mesh_config.mesh, self.opt_state)
         self._step = jax.jit(self._make_step())
+
+    def _shard(self, tree, leading_scan_axis: bool = False):
+        """Shard batch arrays over the mesh's data axis (no-op off-mesh).
+        With leading_scan_axis, dim 0 is the lax.scan steps axis and dim 1
+        is the per-step batch."""
+        if self.mesh_config is None:
+            return tuple(jnp.asarray(x) for x in tree)
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        mesh, axis = self.mesh_config.mesh, self.mesh_config.batch_axis
+        lead = (None, axis) if leading_scan_axis else (axis,)
+        return tuple(
+            jax.device_put(jnp.asarray(x), NamedSharding(
+                mesh, P(*lead, *([None] * (x.ndim - len(lead))))))
+            for x in tree)
 
     def _make_step(self):
         model, opt = self.model, self.opt
@@ -96,10 +122,11 @@ class QATFineTuner:
         if self.model.num_keypoints and gt_kpts is None:
             gt_kpts = np.zeros((*gt_boxes.shape[:2], self.model.num_keypoints, 2),
                                np.float32)
+        batch = self._shard((images, gt_boxes, gt_valid)
+                            + (() if gt_kpts is None else (gt_kpts,)))
         p, self.opt_state, loss, aux = self._step(
-            self.variables["params"], self.opt_state, jnp.asarray(images),
-            jnp.asarray(gt_boxes), jnp.asarray(gt_valid),
-            None if gt_kpts is None else jnp.asarray(gt_kpts))
+            self.variables["params"], self.opt_state, *batch[:3],
+            batch[3] if gt_kpts is not None else None)
         self.variables = {"params": p}
         return {"loss": float(loss), **{k: float(v) for k, v in aux.items()}}
 
@@ -140,9 +167,11 @@ class QATFineTuner:
                 one, (params, opt_state), (images, gt_boxes, gt_valid, gt_kpts))
             return p, os_, losses
 
+        batch = self._shard(
+            (np.asarray(images, np.float32), np.asarray(gt_boxes, np.float32),
+             np.asarray(gt_valid), np.asarray(gt_kpts, np.float32)),
+            leading_scan_axis=True)
         p, self.opt_state, losses = run(
-            self.variables["params"], self.opt_state,
-            np.asarray(images, np.float32), np.asarray(gt_boxes, np.float32),
-            np.asarray(gt_valid), np.asarray(gt_kpts, np.float32))
+            self.variables["params"], self.opt_state, *batch)
         self.variables = {"params": p}
         return {"losses": np.asarray(jax.device_get(losses))}

@@ -80,6 +80,44 @@ def test_detector_scan_training_on_mesh(rng):
     np.testing.assert_allclose(out_s["losses"], out_d["losses"], rtol=5e-3)
 
 
+def test_qat_finetune_on_mesh_matches_single_device(rng):
+    """DP QAT fine-tuning (train/qat.py mesh_config): loss trajectory over
+    the 8-device data axis matches single-device. Fake-quant rounding
+    boundaries amplify reduction-order noise, so tolerance is loss-level."""
+    import jax.numpy as jnp
+
+    from cvsd_tpu.models.detector import PersonDetector
+    from cvsd_tpu.models.detector_int8 import prepare_qat
+    from cvsd_tpu.train.detector_train import synthetic_detection_batch
+    from cvsd_tpu.train.qat import QATFineTuner
+
+    model = PersonDetector(img_size=64, width_mult=0.25, depth_mult=0.34,
+                           dtype=jnp.float32)
+    variables = model.init_variables(__import__("jax").random.PRNGKey(0))
+    calib = [synthetic_detection_batch(np.random.default_rng(9), 4, 64)[0]]
+    qat_model, qat_vars = prepare_qat(model, variables, calib)
+
+    cfg = get_default_config()
+    mc = MeshConfig.from_config(cfg)
+    single = QATFineTuner(qat_model, qat_vars, lr=1e-4)
+    dp = QATFineTuner(qat_model, qat_vars, lr=1e-4, mesh_config=mc)
+
+    data = [synthetic_detection_batch(np.random.default_rng(i), 8, 64, max_gt=2)
+            for i in range(2)]
+    for images, boxes, valid in data:
+        m_s = single.train_step(images, boxes, valid)
+        m_d = dp.train_step(images, boxes, valid)
+        np.testing.assert_allclose(m_s["loss"], m_d["loss"], rtol=2e-3)
+
+    out_s = single.train_steps_scan(
+        np.stack([d[0] for d in data]), np.stack([d[1] for d in data]),
+        np.stack([d[2] for d in data]))
+    out_d = dp.train_steps_scan(
+        np.stack([d[0] for d in data]), np.stack([d[1] for d in data]),
+        np.stack([d[2] for d in data]))
+    np.testing.assert_allclose(out_s["losses"], out_d["losses"], rtol=5e-3)
+
+
 def test_topdown_pose_on_mesh_matches_single_device(rng):
     """DP inference with the fused top-down pose stage: kpts from the sharded
     pipeline match single-device (crop gathers are per-example, so batch
