@@ -73,6 +73,12 @@ def main(argv=None) -> None:
                         "set to your serving auto_size canvas for best match)")
     p.add_argument("--margin", type=float, default=1.0,
                    help="activation range margin (scale = absmax*margin/127)")
+    p.add_argument("--qat_steps", type=int, default=0,
+                   help="fake-quant fine-tune steps (train/qat.py) on rendered "
+                        "skeleton scenes before emitting the int8 checkpoint — "
+                        "the PTQ-loss recovery path")
+    p.add_argument("--qat_lr", type=float, default=1e-4)
+    p.add_argument("--qat_batch", type=int, default=16)
     args = p.parse_args(argv)
 
     import jax
@@ -93,6 +99,32 @@ def main(argv=None) -> None:
         n = max(1, args.calib_frames // args.calib_batch)
         batches = _synthetic_batches(size, args.calib_batch, n)
     qmodel, qvars = quantize_detector(model, variables, batches, margin=args.margin)
+    if args.qat_steps:
+        import numpy as np
+
+        from cvsd_tpu.data.render import rendered_detection_batch
+        from cvsd_tpu.models.detector_int8 import finalize_qat, prepare_qat
+        from cvsd_tpu.train.qat import QATFineTuner
+
+        qat_model, qat_vars = prepare_qat(model, variables, batches,
+                                          margin=args.margin)
+        tuner = QATFineTuner(qat_model, qat_vars, lr=args.qat_lr,
+                             total_steps=args.qat_steps,
+                             warmup_steps=args.qat_steps // 10)
+        rng = np.random.default_rng(0)
+        done = 0
+        while done < args.qat_steps:
+            n = min(25, args.qat_steps - done)
+            data = [rendered_detection_batch(rng, args.qat_batch, model.img_size)
+                    for _ in range(n)]
+            out = tuner.train_steps_scan(
+                np.stack([d[0] for d in data]), np.stack([d[1] for d in data]),
+                np.stack([d[2] for d in data]),
+                np.stack([d[3] for d in data]) if model.num_keypoints else None)
+            done += n
+            print(f"  qat {done}/{args.qat_steps} loss {out['losses'][-1]:.3f}",
+                  flush=True)
+        qvars = finalize_qat(tuner.variables)
     det_cfg.update({
         "img_size": model.img_size, "width_mult": model.width_mult,
         "depth_mult": model.depth_mult, "pose_head": bool(model.num_keypoints),

@@ -170,6 +170,19 @@ def test_quantize_cli_roundtrip(tmp_path):
     leaf = np.asarray(qvars["params"]["Backbone_0"]["ConvBNAct_0"]["w_int8"])
     assert leaf.dtype == np.int8
 
+    # --qat_steps: fine-tune before emitting; checkpoint stays consumer-loadable
+    q2_ckpt = str(tmp_path / "det_int8_qat.msgpack")
+    quantize_main(["--detector_checkpoint", float_ckpt, "--output", q2_ckpt,
+                   "--calib_video", vid, "--calib_frames", "8",
+                   "--calib_batch", "4", "--qat_steps", "2", "--qat_batch", "2"])
+    qmodel2, qvars2, meta2 = load_detector_checkpoint(q2_ckpt)
+    assert isinstance(qmodel2, QuantPersonDetector)
+    assert meta2["config"]["detector"]["quantized"] is True
+    raw2 = qmodel2.apply(qvars2, x, train=False)
+    assert set(raw2) == {"p3", "p4", "p5"}
+    leaf2 = np.asarray(qvars2["params"]["Backbone_0"]["ConvBNAct_0"]["w_int8"])
+    assert leaf2.dtype == np.int8
+
 
 def test_qat_forward_tracks_float_and_finalize_is_consistent():
     """prepare_qat's fake-quant forward tracks the float model; finalize_qat
