@@ -30,6 +30,11 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # honor JAX_PLATFORMS even though sitecustomize pre-registers a TPU
+    # backend (the env var alone does not win -- CLAUDE.md)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from cvsd_tpu.config import get_default_config

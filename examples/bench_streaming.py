@@ -45,6 +45,11 @@ def main() -> None:
 
     import jax
 
+    # honor JAX_PLATFORMS even though sitecustomize pre-registers a TPU
+    # backend (the env var alone does not win -- CLAUDE.md)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from cvsd_tpu.config import get_default_config
     from cvsd_tpu.data.render import render_pose_video
     from cvsd_tpu.data.synthetic import SyntheticPoseLiftDataset

@@ -29,13 +29,19 @@ def main() -> None:
     p.add_argument("--img_size", type=int, default=128)
     p.add_argument("--test-videos", type=int, default=32,
                    help="held-out videos (half normal, half anomalous)")
-    p.add_argument("--train-videos", type=int, default=128,
+    p.add_argument("--train-videos", type=int, default=256,
                    help="normal videos for Shopformer training — window AUC is "
                         "data-limited below ~64 (RESULTS.md progression)")
-    p.add_argument("--epochs", type=int, default=60, help="shopformer epochs/stage")
+    p.add_argument("--epochs", type=int, default=100, help="shopformer epochs/stage")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
+    import jax
+
+    # honor JAX_PLATFORMS even though sitecustomize pre-registers a TPU
+    # backend (the env var alone does not win -- CLAUDE.md)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from cvsd_tpu.config import get_default_config

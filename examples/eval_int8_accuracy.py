@@ -39,6 +39,13 @@ def main() -> None:
     ap.add_argument("--out", default="examples/int8_accuracy_results.json")
     args = ap.parse_args()
 
+    import jax
+
+    # honor JAX_PLATFORMS even though sitecustomize pre-registers a TPU
+    # backend (the env var alone does not win -- CLAUDE.md)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from cvsd_tpu.data.render import rendered_scene_batch
     from cvsd_tpu.data.synthetic import SyntheticPoseLiftDataset
     from cvsd_tpu.eval.detection import evaluate_detector

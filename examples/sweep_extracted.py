@@ -180,6 +180,13 @@ def main() -> None:
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
+    import jax
+
+    # honor JAX_PLATFORMS even though sitecustomize pre-registers a TPU
+    # backend (the env var alone does not win -- CLAUDE.md)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     poselift_dir = build_dataset(args.out, args.img_size, args.steps,
                                  args.pose_steps, args.train_videos, args.test_videos)
 

@@ -44,6 +44,11 @@ def main() -> None:
 
     import jax
 
+    # honor JAX_PLATFORMS even though sitecustomize pre-registers a TPU
+    # backend (the env var alone does not win -- CLAUDE.md)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from cvsd_tpu.data.render import rendered_scene_batch
     from cvsd_tpu.data.synthetic import SyntheticPoseLiftDataset
     from cvsd_tpu.eval.detection import evaluate_detector
