@@ -36,15 +36,19 @@ def windows_from_bbox_csv(
     seq_len: int = 64,
     stride: int = 32,
     min_len: Optional[int] = None,
-) -> Tuple[np.ndarray, np.ndarray]:
+    return_clips: bool = False,
+):
     """BBox CSVs -> ((N, seq_len, 4) float32 windows, (N,) int labels).
     Groups rows by (clip, person) track, sorts by frame, slides windows
-    (the real version of model.py:96-111's intent)."""
+    (the real version of model.py:96-111's intent). With return_clips,
+    also returns the (N,) int clip id per window — the key for video-level
+    score aggregation."""
     from cvsd_tpu.data.bbox_schema import read_bboxes
 
     min_len = min_len or seq_len
     X: List[np.ndarray] = []
     y: List[int] = []
+    clips: List[int] = []
     for path in csv_paths:
         tracks: Dict[Tuple[int, float], List] = {}
         for r in read_bboxes(path):
@@ -58,9 +62,13 @@ def windows_from_bbox_csv(
             for s in range(0, len(feats) - seq_len + 1, stride):
                 X.append(feats[s : s + seq_len])
                 y.append(label)
+                clips.append(int(rows[0].clip))
     if not X:
-        return np.zeros((0, seq_len, len(BBOX_CHANNELS)), np.float32), np.zeros(0, np.int32)
-    return np.stack(X), np.asarray(y, np.int32)
+        empty = (np.zeros((0, seq_len, len(BBOX_CHANNELS)), np.float32),
+                 np.zeros(0, np.int32))
+        return (*empty, np.zeros(0, np.int32)) if return_clips else empty
+    out = (np.stack(X), np.asarray(y, np.int32))
+    return (*out, np.asarray(clips, np.int32)) if return_clips else out
 
 
 def stratified_split(
@@ -243,6 +251,15 @@ class XceptionTimeClassifier:
         assert self.variables is not None, "train or load first"
         X = self.standardizer(np.asarray(X, np.float32))
         return self._predict_logits(self.variables["params"], self.variables["batch_stats"], X).argmax(-1)
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        """(N, num_classes) softmax probabilities (standardized internally) —
+        the score surface for window/video AUC (sklearn predict_proba parity)."""
+        assert self.variables is not None, "train or load first"
+        X = self.standardizer(np.asarray(X, np.float32))
+        logits = self._predict_logits(self.variables["params"], self.variables["batch_stats"], X)
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
 
     def save(self, path: str) -> None:
         from cvsd_tpu.utils.checkpoint import save_checkpoint
