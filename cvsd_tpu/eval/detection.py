@@ -90,6 +90,123 @@ def detection_pr(
             "ap": ap, "num_gt": total_gt, "num_pred": len(scores)}
 
 
+def _coco_ap(precision: np.ndarray, recall: np.ndarray) -> float:
+    """COCO-style 101-point interpolated AP from a PR curve."""
+    if len(recall) == 0:
+        return 0.0
+    env = np.maximum.accumulate(precision[::-1])[::-1]
+    pts = np.linspace(0.0, 1.0, 101)
+    idx = np.searchsorted(recall, pts, side="left")
+    interp = np.where(idx < len(env), env[np.minimum(idx, len(env) - 1)], 0.0)
+    return float(np.mean(interp))
+
+
+def detection_map(
+    pred_boxes: Sequence[np.ndarray],
+    pred_scores: Sequence[np.ndarray],
+    gt_boxes: Sequence[np.ndarray],
+) -> Dict[str, object]:
+    """COCO-style mAP over IoU 0.50:0.95:0.05 (101-point interpolation).
+
+    The reference's detector quality is whatever ultralytics validates
+    (/root/reference/model.py:18 trusts yolov5mu.pt); ultralytics' standard
+    val report is mAP50/mAP50-95, so this makes that axis a measured
+    quantity here too. Returns {'map50', 'map75', 'map50_95', 'per_iou'}.
+    """
+    thresholds = np.arange(0.50, 0.951, 0.05)
+    per_iou = {}
+    for t in thresholds:
+        pr = detection_pr(pred_boxes, pred_scores, gt_boxes, iou_thresh=float(t))
+        per_iou[round(float(t), 2)] = _coco_ap(pr["precision"], pr["recall"])
+    aps = list(per_iou.values())
+    return {
+        "map50": per_iou[0.5],
+        "map75": per_iou[0.75],
+        "map50_95": float(np.mean(aps)),
+        "per_iou": per_iou,
+    }
+
+
+# COCO-17 per-keypoint sigmas (OKS constants, from the COCO keypoint task).
+COCO_KPT_SIGMAS = np.array(
+    [0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072,
+     0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089], np.float32)
+
+
+def oks_matrix(
+    pred_kpts: np.ndarray,  # (N, K, >=2) px
+    gt_kpts: np.ndarray,    # (M, K, 2) px
+    gt_areas: np.ndarray,   # (M,) box areas in px^2
+    sigmas: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """(N, M) object-keypoint-similarity matrix (COCO OKS, all kpts visible)."""
+    if len(pred_kpts) == 0 or len(gt_kpts) == 0:
+        return np.zeros((len(pred_kpts), len(gt_kpts)), np.float32)
+    K = gt_kpts.shape[1]
+    if sigmas is None:
+        sigmas = COCO_KPT_SIGMAS[:K] if K <= len(COCO_KPT_SIGMAS) \
+            else np.full(K, 0.05, np.float32)
+    d2 = np.sum((pred_kpts[:, None, :, :2] - gt_kpts[None, :, :, :2]) ** 2, -1)
+    var = (2.0 * sigmas[None, None, :]) ** 2
+    s = np.maximum(gt_areas, 1.0)[None, :, None]
+    return np.mean(np.exp(-d2 / (2.0 * s * var)), axis=-1).astype(np.float32)
+
+
+def pose_map(
+    pred_kpts: Sequence[np.ndarray],   # per image (N, K, >=2)
+    pred_scores: Sequence[np.ndarray],  # per image (N,)
+    gt_kpts: Sequence[np.ndarray],      # per image (M, K, 2)
+    gt_boxes: Sequence[np.ndarray],     # per image (M, 4) xyxy (for OKS area)
+    sigmas: Optional[np.ndarray] = None,
+) -> Dict[str, object]:
+    """COCO-style keypoint mAP: greedy OKS matching at thresholds
+    0.50:0.95:0.05, 101-point AP, averaged. Mirrors ultralytics' pose-val
+    metric so the top-down pose path is measurable on the standard axis.
+    """
+    thresholds = np.arange(0.50, 0.951, 0.05)
+    per_oks: Dict[float, float] = {}
+    # Precompute greedy matches per image once; threshold just gates them.
+    per_image = []
+    total_gt = 0
+    for pk, ps, gk, gb in zip(pred_kpts, pred_scores, gt_kpts, gt_boxes):
+        pk = np.asarray(pk, np.float32)
+        ps = np.asarray(ps, np.float32)
+        gk = np.asarray(gk, np.float32)
+        gb = np.asarray(gb, np.float32)
+        areas = (np.clip(gb[:, 2] - gb[:, 0], 0, None)
+                 * np.clip(gb[:, 3] - gb[:, 1], 0, None)) if len(gb) else np.zeros(0)
+        order = np.argsort(-ps)
+        oks = oks_matrix(pk[order], gk, areas, sigmas)
+        per_image.append((ps[order], oks))
+        total_gt += len(gk)
+    for t in thresholds:
+        all_tp, all_scores = [], []
+        for ps, oks in per_image:
+            taken = np.zeros(oks.shape[1], bool)
+            tp = np.zeros(len(ps), bool)
+            for i in range(len(ps)):
+                if oks.shape[1] == 0:
+                    break
+                j = int(np.argmax(np.where(taken, -1.0, oks[i])))
+                if oks[i, j] >= t and not taken[j]:
+                    taken[j] = True
+                    tp[i] = True
+            all_tp.append(tp)
+            all_scores.append(ps)
+        tp = np.concatenate(all_tp) if all_tp else np.zeros(0, bool)
+        scores = np.concatenate(all_scores) if all_scores else np.zeros(0, np.float32)
+        order = np.argsort(-scores)
+        tp = tp[order]
+        cum_tp = np.cumsum(tp)
+        cum_fp = np.cumsum(~tp)
+        precision = cum_tp / np.maximum(cum_tp + cum_fp, 1)
+        recall = cum_tp / max(total_gt, 1)
+        per_oks[round(float(t), 2)] = _coco_ap(precision, recall)
+    aps = list(per_oks.values())
+    return {"pose_map50": per_oks[0.5], "pose_map50_95": float(np.mean(aps)),
+            "per_oks": per_oks}
+
+
 def keypoint_rms(
     pred_kpts: np.ndarray,   # (N, K, >=2) px for matched detections
     gt_kpts: np.ndarray,     # (N, K, 2) px
@@ -118,13 +235,16 @@ def evaluate_detector(
     gt_kpts: Optional[np.ndarray] = None,  # (B, P, K, 2)
     iou_thresh: float = 0.5,
     batch_size: int = 16,
+    coco_map: bool = False,
 ) -> Dict[str, object]:
     """Run a jitted detect fn over an eval set and compute PR/AP (+ keypoint
     RMS when the model has a pose head). Matched keypoints pair each TP
-    detection with its greedily-matched GT."""
+    detection with its greedily-matched GT. With coco_map=True also reports
+    mAP50-95 (and OKS pose mAP when keypoints are present)."""
     import jax.numpy as jnp
 
     pb_list, ps_list, gb_list = [], [], []
+    pk_list, gk_list = [], []
     mk_pred, mk_gt, mk_boxes = [], [], []
     B = len(images)
     for s in range(0, B, batch_size):
@@ -143,6 +263,9 @@ def evaluate_detector(
             pb_list.append(pb)
             ps_list.append(ps)
             gb_list.append(gb)
+            if kpts is not None and gt_kpts is not None:
+                pk_list.append(kpts[i][keep])
+                gk_list.append(gt_kpts[b][gt_valid[b]])
             if kpts is not None and gt_kpts is not None and len(pb) and len(gb):
                 order = np.argsort(-ps)
                 iou = _iou_matrix(pb[order], gb)
@@ -160,4 +283,8 @@ def evaluate_detector(
     if mk_pred:
         result["keypoints"] = keypoint_rms(np.stack(mk_pred), np.stack(mk_gt),
                                            np.stack(mk_boxes))
+    if coco_map:
+        result.update(detection_map(pb_list, ps_list, gb_list))
+        if pk_list:
+            result.update(pose_map(pk_list, ps_list, gk_list, gb_list))
     return result

@@ -72,10 +72,14 @@ def main() -> None:
     results = {}
     for name, m, v in (("float", model, variables), ("int8", qmodel, qvars)):
         detect = make_detect_fn(m, conf_thresh=0.25, iou_thresh=0.45, max_detections=16)
-        res = evaluate_detector(detect, v, ev_imgs, ev_b, ev_v, ev_k)
-        results[name] = {"ap50": res["ap"], "num_pred": int(res["num_pred"]),
+        res = evaluate_detector(detect, v, ev_imgs, ev_b, ev_v, ev_k,
+                                coco_map=True)
+        results[name] = {"ap50": res["ap"], "map50_95": res.get("map50_95"),
+                         "pose_map50_95": res.get("pose_map50_95"),
+                         "num_pred": int(res["num_pred"]),
                          "keypoints": res.get("keypoints")}
-        print(f"{name}: AP@50 {res['ap']:.4f}  preds {res['num_pred']}", flush=True)
+        print(f"{name}: AP@50 {res['ap']:.4f}  mAP50-95 {res.get('map50_95', 0):.4f}"
+              f"  preds {res['num_pred']}", flush=True)
 
     if args.qat_steps:
         from cvsd_tpu.models.detector_int8 import finalize_qat, prepare_qat
@@ -105,8 +109,11 @@ def main() -> None:
         serving_vars = finalize_qat(tuner.variables)
         detect = make_detect_fn(qmodel, conf_thresh=0.25, iou_thresh=0.45,
                                 max_detections=16)
-        res = evaluate_detector(detect, serving_vars, ev_imgs, ev_b, ev_v, ev_k)
-        results["int8_qat"] = {"ap50": res["ap"], "num_pred": int(res["num_pred"]),
+        res = evaluate_detector(detect, serving_vars, ev_imgs, ev_b, ev_v, ev_k,
+                                coco_map=True)
+        results["int8_qat"] = {"ap50": res["ap"], "map50_95": res.get("map50_95"),
+                               "pose_map50_95": res.get("pose_map50_95"),
+                               "num_pred": int(res["num_pred"]),
                                "keypoints": res.get("keypoints"),
                                "steps": args.qat_steps}
         print(f"int8+qat: AP@50 {res['ap']:.4f}  preds {res['num_pred']}", flush=True)

@@ -87,7 +87,8 @@ def main() -> None:
     ev_imgs, ev_b, ev_v, ev_k = rendered_scene_batch(
         eval_rng, args.eval_size, args.img, args.max_persons, seq_source)
     detect = make_detect_fn(model, conf_thresh=0.25, iou_thresh=0.45, max_detections=16)
-    res = evaluate_detector(detect, trainer.variables, ev_imgs, ev_b, ev_v, ev_k)
+    res = evaluate_detector(detect, trainer.variables, ev_imgs, ev_b, ev_v, ev_k,
+                            coco_map=True)
     summary = {
         "steps": args.steps, "img": args.img, "batch": args.batch,
         "width_mult": args.width, "depth_mult": args.depth,
@@ -95,6 +96,8 @@ def main() -> None:
         "train_loss_last50": float(np.mean(losses[-50:])),
         "eval_scenes": args.eval_size,
         "ap50": res["ap"], "num_gt": int(res["num_gt"]), "num_pred": int(res["num_pred"]),
+        "map50_95": res.get("map50_95"), "map75": res.get("map75"),
+        "pose_map50_95": res.get("pose_map50_95"),
         "keypoints": res.get("keypoints"),
         "seconds": round(time.time() - t0, 1),
     }

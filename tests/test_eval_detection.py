@@ -49,6 +49,62 @@ def test_keypoint_rms():
     assert r["n"] == 2
 
 
+def test_detection_map_perfect_and_degrading():
+    """Perfect boxes score 1.0 at every IoU threshold; a box with IoU ~0.68
+    vs GT counts at 0.5-0.65 but not at 0.7+, so map50_95 lands between."""
+    from cvsd_tpu.eval.detection import detection_map
+
+    gt = [np.array([[0, 0, 10, 10]], np.float32)]
+    res = detection_map(gt, [np.array([0.9], np.float32)], gt)
+    assert res["map50"] == 1.0 and res["map75"] == 1.0 and res["map50_95"] == 1.0
+
+    # pred [0,0,10,8.2] vs gt [0,0,10,10]: IoU = 82/100 = 0.82
+    preds = [np.array([[0, 0, 10, 8.2]], np.float32)]
+    res = detection_map(preds, [np.array([0.9], np.float32)], gt)
+    assert res["per_iou"][0.5] == 1.0 and res["per_iou"][0.8] == 1.0
+    assert res["per_iou"][0.85] == 0.0 and res["per_iou"][0.95] == 0.0
+    # 7 of 10 thresholds pass (0.50..0.80)
+    np.testing.assert_allclose(res["map50_95"], 0.7, rtol=1e-6)
+
+
+def test_oks_matrix_and_pose_map():
+    from cvsd_tpu.eval.detection import oks_matrix, pose_map
+
+    K = 17
+    gt_k = np.tile(np.linspace(10, 90, K)[:, None], (1, 2)).astype(np.float32)[None]
+    gt_b = np.array([[0, 0, 100, 100]], np.float32)
+    # exact keypoints -> OKS 1 -> perfect pose mAP
+    oks = oks_matrix(gt_k, gt_k, np.array([10000.0]))
+    np.testing.assert_allclose(oks, [[1.0]], rtol=1e-6)
+    res = pose_map([gt_k], [np.array([0.9], np.float32)], [gt_k], [gt_b])
+    assert res["pose_map50"] == 1.0 and res["pose_map50_95"] == 1.0
+    # wildly wrong keypoints -> OKS ~0 -> zero pose mAP
+    bad = gt_k + 500.0
+    res = pose_map([bad], [np.array([0.9], np.float32)], [gt_k], [gt_b])
+    assert res["pose_map50_95"] == 0.0
+
+
+def test_pose_map_partial_credit():
+    """Keypoints offset so OKS lands strictly between 0.5 and 0.95: counted
+    at low thresholds, rejected at high ones."""
+    from cvsd_tpu.eval.detection import oks_matrix, pose_map, COCO_KPT_SIGMAS
+
+    K = 17
+    gt_k = np.full((1, K, 2), 50.0, np.float32)
+    gt_b = np.array([[0, 0, 100, 100]], np.float32)
+    area = 10000.0
+    # pick an offset giving mean OKS ~0.72: solve exp(-d2/(2*s*(2sig)^2))=0.72
+    d = np.sqrt(-2 * area * (2 * COCO_KPT_SIGMAS[:K]) ** 2 * np.log(0.72))
+    pred = gt_k.copy()
+    pred[0, :, 0] += d
+    oks = oks_matrix(pred, gt_k, np.array([area]))
+    np.testing.assert_allclose(oks[0, 0], 0.72, rtol=1e-5)
+    res = pose_map([pred], [np.array([0.9], np.float32)], [gt_k], [gt_b])
+    assert res["per_oks"][0.5] == 1.0 and res["per_oks"][0.7] == 1.0
+    assert res["per_oks"][0.75] == 0.0
+    np.testing.assert_allclose(res["pose_map50_95"], 0.5, rtol=1e-6)
+
+
 def test_evaluate_detector_on_oracle():
     """An oracle detect_fn that returns the GT gets AP 1.0."""
     from cvsd_tpu.eval.detection import evaluate_detector
