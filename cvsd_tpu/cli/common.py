@@ -3,9 +3,20 @@
 from __future__ import annotations
 
 import argparse
+import os
 from typing import Any, Dict
 
 from cvsd_tpu.config import apply_overrides, get_default_config, load_config, validate_config
+
+# Honor JAX_PLATFORMS for every CLI entry point. The environment's
+# sitecustomize pre-registers a TPU backend, so the env var alone does not
+# win — mirror it into jax.config before any backend is initialized (same
+# pattern as examples/*.py). Without this, JAX_PLATFORMS=cpu CLI runs would
+# still dial the TPU.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def add_config_args(p: argparse.ArgumentParser) -> None:

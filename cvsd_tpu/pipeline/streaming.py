@@ -119,8 +119,14 @@ class StreamingPipeline:
             window = window[:, : self.num_keypoints]
         return normalize_sequence(window.astype(np.float32))
 
-    def stream_video(self, video_path: str, video_name: Optional[str] = None) -> Iterator[ScoreEvent]:
-        """Yield ScoreEvents for one video as windows complete."""
+    def stream_video(self, video_path: str, video_name: Optional[str] = None,
+                     on_frame=None) -> Iterator[ScoreEvent]:
+        """Yield ScoreEvents for one video as windows complete.
+
+        ``on_frame(frame_no, timestamp_ms, dets)`` — optional per-frame hook
+        with the tracked detections in SOURCE pixel coordinates
+        (dets: list of {'track_id', 'box' (4,) xyxy, 'score', 'kpts' (17,2)
+        or None}); used by the annotation writer (viz/annotate.py)."""
         name = video_name or video_path.rsplit("/", 1)[-1]
         tracker = IoUTracker()
         windows: Dict[int, _TrackWindow] = {}
@@ -140,19 +146,31 @@ class StreamingPipeline:
                     continue
                 v = valid[b]
                 tracked = tracker.update_with_indices(boxes_src[b][v], scores[b][v])
-                if kpts is None or not tracked:
-                    continue
-                det_kpts = kpts[b][v]  # (n, 17, 3) letterbox coords
                 frame_no = int(batch.frame_numbers[b])
                 stamp = float(batch.timestamps_ms[b])
+                if kpts is None or not tracked:
+                    if on_frame is not None:
+                        on_frame(frame_no, stamp,
+                                 [{"track_id": tid, "box": np.asarray(bx, np.float32),
+                                   "score": float(sc), "kpts": None}
+                                  for tid, bx, sc, _di in tracked])
+                    continue
+                det_kpts = kpts[b][v]  # (n, 17, 3) letterbox coords
+                frame_dets = [] if on_frame is not None else None
                 for track_id, _box, _score, di in tracked:
                     k = det_kpts[di][:, :2].copy()
                     k[:, 0] = (k[:, 0] - pad_x) / scale
                     k[:, 1] = (k[:, 1] - pad_y) / scale
+                    if frame_dets is not None:
+                        frame_dets.append({"track_id": track_id,
+                                           "box": np.asarray(_box, np.float32),
+                                           "score": float(_score), "kpts": k})
                     tw = windows.setdefault(track_id, _TrackWindow(self.seq_len, self.stride))
                     done = tw.push(k, frame_no, stamp)
                     if done is not None:
                         pending.append({"track_id": track_id, **done})
+                if on_frame is not None:
+                    on_frame(frame_no, stamp, frame_dets)
                 # score in batches
                 while len(pending) >= self.score_batch:
                     yield from self._score_pending(pending[: self.score_batch], name)
