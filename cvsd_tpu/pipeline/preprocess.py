@@ -410,11 +410,40 @@ def process_videos_multiplexed(
             return True
         return False
 
-    while len(active) < max_streams and open_next():
-        pass
-    if not active:
-        dt = time.perf_counter() - t0
-        return {"videos": 0, "frames": 0, "rows": 0, "seconds": dt, "fps": 0.0}
+    # native batched decode (native/video_decode.cpp, see the streaming
+    # pipeline's use for rationale): whole-batch decode+resize+convert in one
+    # GIL-releasing C++ call; per-video frame order and therefore rows/CSV
+    # bytes are identical to the Python loop
+    use_native = pipeline.config.get("detector", {}).get("native_decode")
+    if use_native is None:
+        try:
+            from cvsd_tpu.native.video import video_available
+
+            use_native = video_available()
+        except Exception:
+            use_native = False
+
+    if use_native:
+        for it in items:
+            cap = cv2.VideoCapture(it[0])
+            if cap.isOpened():
+                src_h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+                src_w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+                cap.release()
+                break
+            cap.release()
+        if src_h is None:
+            dt = time.perf_counter() - t0
+            return {"videos": 0, "frames": 0, "rows": 0, "seconds": dt, "fps": 0.0}
+        if host_lb:
+            size = pipeline._canvas_size(src_h, src_w)
+            lb = (size,) + letterbox_params(src_h, src_w, size)
+    else:
+        while len(active) < max_streams and open_next():
+            pass
+        if not active:
+            dt = time.perf_counter() - t0
+            return {"videos": 0, "frames": 0, "rows": 0, "seconds": dt, "fps": 0.0}
 
     content = pipeline.host_lb_content
 
@@ -456,6 +485,44 @@ def process_videos_multiplexed(
             i += 1
         n_frames += k
         return frames, meta, k
+
+    dec = None
+    if use_native:
+        from cvsd_tpu.native.video import (MODE_CANVAS, MODE_CONTENT, MODE_RAW,
+                                           MultiStreamDecoder)
+
+        paths = [it[0] for it in items]
+        if host_lb and content:
+            size, _scale, px, py, nw, nh = lb
+            dec = MultiStreamDecoder(paths, max_streams, (nh, nw),
+                                     MODE_CONTENT, (nh, nw))
+        elif host_lb:
+            size, _scale, px, py, nw, nh = lb
+            dec = MultiStreamDecoder(paths, max_streams, (size, size),
+                                     MODE_CANVAS, (nh, nw), (px, py))
+        else:
+            dec = MultiStreamDecoder(paths, max_streams, (src_h, src_w), MODE_RAW)
+        nstates: Dict[int, Dict[str, Any]] = {}
+
+        def read_batch_native():
+            nonlocal n_frames
+            frames, sidx, fno, _stamp, k = dec.next_batch(B)
+            meta: List[Optional[Tuple[Dict[str, Any], int]]] = [None] * B
+            for b in range(k):
+                si = int(sidx[b])
+                st = nstates.get(si)
+                if st is None:
+                    it = items[si]
+                    st = nstates[si] = {
+                        "tracker": IoUTracker(), "rows": rows_by_item[si],
+                        "clip": it[1], "label": it[2], "name": it[3],
+                        "anom": it[5],
+                    }
+                meta[b] = (st, int(fno[b]))
+            n_frames += k
+            return frames, meta, k
+
+        read_batch = read_batch_native
 
     def process(outs, meta, k: int) -> None:
         nonlocal n_dets
@@ -539,6 +606,8 @@ def process_videos_multiplexed(
             process(outs, m, kk)
         stage["fetch"] += t2 - t1
         stage["track"] += time.perf_counter() - t2
+    if dec is not None:
+        dec.close()
     dt = time.perf_counter() - t0
     return {"rows_by_item": rows_by_item, "frames": n_frames, "detections": n_dets,
             "seconds": dt, "stage_seconds": stage}

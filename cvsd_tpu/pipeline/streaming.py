@@ -249,6 +249,20 @@ class StreamingPipeline:
         # per-stage wall-clock breakdown (read/detect/track/score), exposed in
         # the stream_videos_concurrent result for throughput diagnosis
         stage = self._stage_seconds
+        # native batched decode (native/video_decode.cpp): decode + resize +
+        # BGR->RGB for a whole batch in ONE GIL-releasing C++ call, replacing
+        # the per-frame Python loop below. Auto-on when the lib is built
+        # (detector.native_decode overrides); the streams' per-frame sequences
+        # and therefore the emitted events are identical either way
+        # (tests/test_native_decode.py)
+        use_native = self.config.get("detector", {}).get("native_decode")
+        if use_native is None:
+            try:
+                from cvsd_tpu.native.video import video_available
+
+                use_native = video_available()
+            except Exception:
+                use_native = False
 
         def open_next() -> bool:
             while queue:
@@ -267,8 +281,9 @@ class StreamingPipeline:
                 return True
             return False
 
-        while len(active) < max_streams and open_next():
-            pass
+        if not use_native:
+            while len(active) < max_streams and open_next():
+                pass
 
         pending: List[Dict[str, Any]] = []
         pending_video: List[str] = []
@@ -321,6 +336,42 @@ class StreamingPipeline:
                 i += 1
                 n_frames += 1
             return frames, meta, k
+
+        dec = None
+        if use_native:
+            from cvsd_tpu.native.video import (MODE_CANVAS, MODE_CONTENT,
+                                               MODE_RAW, MultiStreamDecoder)
+
+            h0, w0 = resolution
+            if host_lb and lb_content:
+                dec = MultiStreamDecoder(queue, max_streams, (lb_nh, lb_nw),
+                                         MODE_CONTENT, (lb_nh, lb_nw))
+            elif host_lb:
+                dec = MultiStreamDecoder(queue, max_streams, (size, size),
+                                         MODE_CANVAS, (lb_nh, lb_nw),
+                                         (lb_px, lb_py))
+            else:
+                dec = MultiStreamDecoder(queue, max_streams, (h0, w0), MODE_RAW)
+            nstates: Dict[int, Dict[str, Any]] = {}
+
+            def read_batch_native():
+                nonlocal n_frames
+                frames, sidx, fno, stamp, k = dec.next_batch(B)
+                meta: List[Optional[Tuple[Dict[str, Any], int, float]]] = [None] * B
+                for b in range(k):
+                    si = int(sidx[b])
+                    st = nstates.get(si)
+                    if st is None:
+                        st = nstates[si] = {
+                            "tracker": IoUTracker(), "windows": {},
+                            "scale": lb_scale, "pad": (lb_px, lb_py),
+                            "name": dec.paths[si].rsplit("/", 1)[-1],
+                        }
+                    meta[b] = (st, int(fno[b]), float(stamp[b]))
+                n_frames += k
+                return frames, meta, k
+
+            read_batch = read_batch_native
 
         def process(outs, meta, k: int) -> None:
             boxes_src, _xywhn, scores, valid = outs[:4]
@@ -456,6 +507,8 @@ class StreamingPipeline:
         while score_inflight:
             fetch_oldest_scores()
         stage["score"] += time.perf_counter() - t5
+        if dec is not None:
+            dec.close()
         return events, n_frames
 
     def _score_pending_multi(self, pending: List[Dict[str, Any]], videos: List[str]) -> List[ScoreEvent]:

@@ -39,6 +39,8 @@ def main() -> None:
                     help="resize to canvas on host; upload canvas-size uint8 "
                          "(4.7x fewer bytes through the relay at 240p->128)")
     ap.add_argument("--score-batch", type=int, default=32)
+    ap.add_argument("--native-decode", choices=["auto", "on", "off"],
+                    default="auto", help="C++ batched decoder (native/video_decode.cpp)")
     ap.add_argument("--out", default="/tmp/bench_streaming")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -72,6 +74,8 @@ def main() -> None:
                            dtype="float32", pose_head=True, tta_flip=args.tta,
                            stream_depth=args.stream_depth,
                            host_letterbox=args.host_letterbox)
+    if args.native_decode != "auto":
+        cfg["detector"]["native_decode"] = args.native_decode == "on"
     cfg["data"]["batch_size"] = args.score_batch
     model = build_shopformer(cfg)
     variables = model.init_variables(jax.random.PRNGKey(0))
