@@ -70,7 +70,8 @@ class VideoBatcher:
     out and releases — bounded memory, no Python-queue object churn."""
 
     def __init__(self, path: str, batch_size: int = 32, prefetch: int = 2,
-                 bgr_to_rgb: bool = True, use_native_ring: Optional[bool] = None):
+                 bgr_to_rgb: bool = True, use_native_ring: Optional[bool] = None,
+                 use_native_decode: Optional[bool] = None):
         if not _HAS_CV2:
             raise RuntimeError("OpenCV not available")
         self.path = path
@@ -78,6 +79,12 @@ class VideoBatcher:
         self.prefetch = int(prefetch)
         self.bgr_to_rgb = bgr_to_rgb
         self.info = video_info(path)
+        # native batched decode (native/video_decode.cpp): the producer fills
+        # a whole batch with one GIL-releasing C++ call instead of the
+        # per-frame cv2 loop. Auto-on when the lib is built; RGB only.
+        if use_native_decode is None:
+            use_native_decode = bgr_to_rgb and self._native_decode_available()
+        self.use_native_decode = bool(use_native_decode) and bgr_to_rgb
         if use_native_ring is None:
             # auto: use the C++ ring buffer whenever the lib is built (it
             # auto-builds on first import of cvsd_tpu.native when a toolchain
@@ -104,6 +111,21 @@ class VideoBatcher:
             yield batch
         t.join()
 
+    @staticmethod
+    def _native_decode_available() -> bool:
+        try:
+            from cvsd_tpu.native.video import video_available
+
+            return video_available()
+        except Exception:
+            return False
+
+    def _open_native_decoder(self):
+        from cvsd_tpu.native.video import MODE_RAW, MultiStreamDecoder
+
+        H, W = self.info.height, self.info.width
+        return MultiStreamDecoder([self.path], 1, (H, W), MODE_RAW)
+
     def _iter_native(self) -> Iterator[FrameBatch]:
         from cvsd_tpu import native
 
@@ -114,7 +136,34 @@ class VideoBatcher:
         # sidecar metadata per slot (numbers/stamps/mask), same synchronization
         meta = {}
 
-        def producer():
+        def producer_msd():
+            # native batched decode straight into the ring slot: one C++
+            # call per batch, no Python per-frame work at all
+            dec = self._open_native_decoder()
+            try:
+                while True:
+                    slot = rb.acquire_write()
+                    if slot < 0:
+                        return
+                    frames = rb.slot(slot)
+                    numbers, stamps, k = dec.next_batch_into(frames)
+                    if k == 0:
+                        rb.commit_write(slot)
+                        meta[slot] = None
+                        return
+                    mask = np.zeros(B, bool)
+                    mask[:k] = True
+                    if k < B:
+                        frames[k:] = 0  # deterministic padding (slots are reused)
+                    meta[slot] = (numbers, stamps, mask)
+                    rb.commit_write(slot)
+                    if k < B:
+                        return
+            finally:
+                dec.close()
+                rb.close()
+
+        def producer_cv2():
             cap = cv2.VideoCapture(self.path)
             try:
                 if not cap.isOpened():
@@ -155,6 +204,8 @@ class VideoBatcher:
                 cap.release()
                 rb.close()
 
+        producer = producer_msd if self.use_native_decode else producer_cv2
+
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
@@ -174,6 +225,25 @@ class VideoBatcher:
             rb.destroy()
 
     def _producer(self, q: "queue.Queue[Optional[FrameBatch]]") -> None:
+        if self.use_native_decode:
+            B = self.batch_size
+            H, W = self.info.height, self.info.width
+            dec = self._open_native_decoder()
+            try:
+                while True:
+                    frames = np.zeros((B, H, W, 3), np.uint8)
+                    numbers, stamps, k = dec.next_batch_into(frames)
+                    if k == 0:
+                        break
+                    mask = np.zeros(B, bool)
+                    mask[:k] = True
+                    q.put(FrameBatch(frames, numbers, mask, stamps))
+                    if k < B:
+                        break
+            finally:
+                dec.close()
+                q.put(None)
+            return
         cap = cv2.VideoCapture(self.path)
         H, W = self.info.height, self.info.width
         B = self.batch_size

@@ -108,6 +108,27 @@ class MultiStreamDecoder:
             stamp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         return frames, sidx, fno, stamp, int(k)
 
+    def next_batch_into(self, frames: np.ndarray):
+        """Decode directly into a caller-provided (B, out_h, out_w, 3) uint8
+        buffer (e.g. a native ring-buffer slot) — zero-copy variant of
+        next_batch. Returns (frame_no (B,) i32, stamp_ms (B,) f64, k)."""
+        assert frames.dtype == np.uint8 and frames.flags["C_CONTIGUOUS"]
+        B = int(frames.shape[0])
+        assert frames.shape[1:] == (self.out_h, self.out_w, 3)
+        sidx = np.empty(B, np.int32)
+        fno = np.zeros(B, np.int32)
+        stamp = np.zeros(B, np.float64)
+        k = self._lib.msd_next(
+            self._h, B,
+            frames.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            sidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            fno.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            stamp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        if k < B:
+            fno[k:] = 0
+            stamp[k:] = 0.0
+        return fno, stamp, int(k)
+
     @property
     def active(self) -> int:
         return int(self._lib.msd_active(self._h))

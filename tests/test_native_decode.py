@@ -105,6 +105,32 @@ def _event_map(events):
             for e in events}
 
 
+def test_video_batcher_native_decode_parity(tmp_path):
+    """VideoBatcher with use_native_decode yields byte-identical batches
+    (frames, numbers, stamps, mask) on both the ring and queue paths."""
+    from cvsd_tpu.data.video import VideoBatcher
+
+    p = write_test_video(str(tmp_path / "v.mp4"), num_frames=37,
+                         width=320, height=240, seed=3)
+
+    def collect(**kw):
+        out = []
+        for b in VideoBatcher(p, batch_size=8, **kw):
+            for i in range(8):
+                if b.mask[i]:
+                    out.append((int(b.frame_numbers[i]),
+                                float(b.timestamps_ms[i]), b.frames[i].copy()))
+        return out
+
+    for ring in (False, True):
+        a = collect(use_native_ring=ring, use_native_decode=False)
+        b = collect(use_native_ring=ring, use_native_decode=True)
+        assert len(a) == len(b) == 37
+        for (n1, t1, f1), (n2, t2, f2) in zip(a, b):
+            assert n1 == n2 and abs(t1 - t2) < 1e-6
+            assert np.array_equal(f1, f2)
+
+
 @pytest.mark.slow
 def test_preprocess_csv_bytes_identical_native_vs_python(tmp_path_factory, tmp_path):
     import os
