@@ -200,6 +200,8 @@ def main() -> None:
                          "own fixed canvas (ultralytics imgsz, e.g. 640) — "
                          "timing-only (different canvas => rows not compared)")
     ap.add_argument("--out", default="/tmp/bench_preprocess")
+    ap.add_argument("--native-decode", choices=["auto", "on", "off"],
+                    default="auto", help="C++ batched decoder for the multiplexed path")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the environment pre-registers "
                          "a TPU backend; JAX_PLATFORMS alone does not win)")
@@ -227,6 +229,8 @@ def main() -> None:
                            conf_threshold=0.3, max_detections=8, dtype=dtype,
                            auto_size=True, host_letterbox=args.host_letterbox,
                            stream_depth=args.stream_depth)
+    if args.native_decode != "auto":
+        cfg["detector"]["native_decode"] = args.native_decode == "on"
 
     fast_dir = os.path.join(args.out, "fast")
     for d in ("fast", "fast_py", "naive_bit", "naive_t"):
