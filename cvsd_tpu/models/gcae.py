@@ -139,6 +139,11 @@ class GCAEEncoder(nn.Module):
     layout: str = "coco_with_neck"
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    # reference-mirror options, used by the torch checkpoint importer
+    # (utils/shopformer_import.py). Defaults = the TPU-native design.
+    strides_override: Any = None  # explicit per-layer strides tuple
+    token_order: str = "vc"  # 'vc' (ours, v*C+c) | 'cv' (reference, c*V+v)
+    pool_to_tokens: bool = True  # False = v1: emit however many tokens remain
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -151,7 +156,8 @@ class GCAEEncoder(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, axis=(-2, -1), dtype=self.dtype)(x)
 
         channels = [self.in_channels] + [self.hidden_channels] * (self.num_layers - 1) + [self.latent_channels]
-        strides = compute_strides(self.seq_len, self.num_tokens, self.num_layers)
+        strides = (tuple(self.strides_override) if self.strides_override is not None
+                   else compute_strides(self.seq_len, self.num_tokens, self.num_layers))
         for i in range(self.num_layers):
             x = STGCNBlock(
                 channels[i], channels[i + 1], adj, stride=strides[i],
@@ -159,13 +165,17 @@ class GCAEEncoder(nn.Module):
             )(x, train)
 
         t_now = x.shape[1]
-        if t_now != self.num_tokens:
+        if self.pool_to_tokens and t_now != self.num_tokens:
             # adaptive average pool as a constant matmul (TPU-native form of
             # the AdaptiveAvgPool2d safety net, shopformer_2/models/gcae.py:405-415)
             P = jnp.asarray(adaptive_pool_matrix(t_now, self.num_tokens), self.dtype)
             x = jnp.einsum("ot,btvc->bovc", P, x)
-        # tokens: (B, num_tokens, V*latent)
-        return x.reshape(B, self.num_tokens, V * self.latent_channels)
+            t_now = self.num_tokens
+        if self.token_order == "cv":
+            # reference embedding order c*V + v (shopformer/models/gcae.py:361-364)
+            return jnp.transpose(x, (0, 1, 3, 2)).reshape(B, t_now, self.latent_channels * V)
+        # tokens: (B, t_now, V*latent)
+        return x.reshape(B, t_now, V * self.latent_channels)
 
 
 class GCAEDecoder(nn.Module):
@@ -180,9 +190,17 @@ class GCAEDecoder(nn.Module):
     seq_len: int = 12
     num_tokens: int = 2
     dtype: Any = jnp.float32
+    # 'tpu' (ours) | 'ref' — exact mirror of the reference decoder stack
+    # (shopformer/models/gcae.py:369-478 == shopformer_2:430-530), used by
+    # the torch checkpoint importer
+    variant: str = "tpu"
+    num_layers: int = 4
+    token_order: str = "vc"
 
     @nn.compact
     def __call__(self, tokens: jax.Array, train: bool = False) -> jax.Array:
+        if self.variant == "ref":
+            return self._ref_forward(tokens, train)
         B = tokens.shape[0]
         V = self.num_keypoints
         x = nn.Dense(V * self.hidden_channels, kernel_init=_xavier, dtype=self.dtype)(tokens)
@@ -210,6 +228,53 @@ class GCAEDecoder(nn.Module):
                     kernel_init=_xavier, dtype=self.dtype)(x)
         return x  # (B, seq_len, V, in_channels)
 
+    @staticmethod
+    def ref_upsample_factors(num_tokens: int, seq_len: int, num_layers: int) -> list:
+        """The reference's greedy x2 upsample plan (shopformer/models/
+        gcae.py:437-449): double while it stays <= seq_len, one layer at a
+        time; remainder handled by bilinear interpolation."""
+        factors = [1] * num_layers
+        current = num_tokens
+        for i in range(num_layers):
+            if current < seq_len and current * 2 <= seq_len:
+                factors[i] = 2
+                current *= 2
+        return factors
+
+    def _ref_forward(self, tokens: jax.Array, train: bool) -> jax.Array:
+        """Exact mirror of the reference decoder (shopformer/models/
+        gcae.py:369-478): Linear expansion (no activation), per-layer
+        ConvTranspose(k=f, s=f) or 1x1 Conv with BN+ReLU between (not after
+        the last), bilinear resize to (seq_len, V). Shape-agnostic in the
+        token count (v1 may feed more tokens than `num_tokens`)."""
+        B, T = tokens.shape[0], tokens.shape[1]
+        V, H = self.num_keypoints, self.hidden_channels
+        x = nn.Dense(V * H, kernel_init=_xavier, dtype=self.dtype)(tokens)
+        if self.token_order == "cv":
+            # reference embed order h*V + v -> (B, T, h, V) -> feature-last
+            x = jnp.transpose(x.reshape(B, T, H, V), (0, 1, 3, 2))
+        else:
+            x = x.reshape(B, T, V, H)
+        factors = self.ref_upsample_factors(self.num_tokens, self.seq_len, self.num_layers)
+        channels = [H] * (self.num_layers - 1) + [self.in_channels]
+        for i in range(self.num_layers):
+            f, out_ch = factors[i], channels[i]
+            if f > 1:
+                x = nn.ConvTranspose(
+                    out_ch, kernel_size=(f, 1), strides=(f, 1), padding="VALID",
+                    kernel_init=_xavier, dtype=self.dtype,
+                )(x)
+            else:
+                x = nn.Conv(out_ch, kernel_size=(1, 1), kernel_init=_xavier,
+                            dtype=self.dtype)(x)
+            if i < self.num_layers - 1:
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 dtype=self.dtype)(x)
+                x = nn.relu(x)
+        if x.shape[1] != self.seq_len:
+            x = jax.image.resize(x, (B, self.seq_len, V, x.shape[-1]), method="linear")
+        return x  # (B, seq_len, V, in_channels)
+
 
 class GCAE(nn.Module):
     """Graph-conv autoencoder: encode -> tokens, decode -> reconstruction
@@ -225,6 +290,11 @@ class GCAE(nn.Module):
     layout: str = "coco_with_neck"
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    # reference-mirror options (torch checkpoint import); defaults = ours
+    strides_override: Any = None
+    token_order: str = "vc"
+    pool_to_tokens: bool = True
+    decoder_variant: str = "tpu"
 
     @property
     def embedding_dim(self) -> int:
@@ -240,8 +310,14 @@ class GCAE(nn.Module):
             num_tokens=self.num_tokens,
             dtype=self.dtype,
         )
-        self.encoder = GCAEEncoder(num_layers=self.num_layers, layout=self.layout, dropout=self.dropout, **kw)
-        self.decoder = GCAEDecoder(**kw)
+        self.encoder = GCAEEncoder(num_layers=self.num_layers, layout=self.layout,
+                                   dropout=self.dropout,
+                                   strides_override=self.strides_override,
+                                   token_order=self.token_order,
+                                   pool_to_tokens=self.pool_to_tokens, **kw)
+        self.decoder = GCAEDecoder(variant=self.decoder_variant,
+                                   num_layers=self.num_layers,
+                                   token_order=self.token_order, **kw)
 
     def encode(self, x: jax.Array, train: bool = False) -> jax.Array:
         return self.encoder(x, train)
@@ -271,4 +347,8 @@ class GCAE(nn.Module):
             layout=m.get("layout", "coco_with_neck"),
             dropout=float(m.get("dropout", 0.0)),
             dtype=dtype,
+            strides_override=(tuple(m["gcae_strides"]) if m.get("gcae_strides") else None),
+            token_order=m.get("token_order", "vc"),
+            pool_to_tokens=bool(m.get("pool_to_tokens", True)),
+            decoder_variant=m.get("gcae_decoder_variant", "tpu"),
         )

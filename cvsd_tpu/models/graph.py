@@ -98,6 +98,22 @@ def compute_strides(seq_len: int, num_tokens: int, num_layers: int) -> list:
     return strides
 
 
+def compute_strides_v1(seq_len: int, num_tokens: int, num_layers: int) -> list:
+    """The v1 reference's greedy halving strides (shopformer/models/
+    gcae.py:317-329): halve while it stays >= num_tokens, one layer at a
+    time. Unlike compute_strides, may NOT land exactly on num_tokens
+    (e.g. 12 -> 6 -> 3 with tokens=2); v1 simply emits that many tokens.
+    Used by the checkpoint importer (utils/shopformer_import.py) to mirror
+    v1 architectures exactly."""
+    strides = [1] * num_layers
+    current = seq_len
+    for i in range(num_layers):
+        if current > num_tokens and current // 2 >= num_tokens:
+            strides[i] = 2
+            current //= 2
+    return strides
+
+
 def adaptive_pool_matrix(in_len: int, out_len: int) -> np.ndarray:
     """(out_len, in_len) row-stochastic matrix implementing AdaptiveAvgPool1d
     semantics (window [floor(i*L/O), ceil((i+1)*L/O))) as a single matmul —

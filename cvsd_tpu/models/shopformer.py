@@ -52,10 +52,19 @@ class Shopformer(nn.Module):
     variant: str = "v2"
     score_max_len: int = 100
     dtype: Any = jnp.float32
+    # reference-mirror options for torch checkpoint import
+    # (utils/shopformer_import.py); defaults = the TPU-native design
+    gcae_strides: Any = None
+    token_order: str = "vc"
+    pool_to_tokens: bool = True
+    gcae_decoder_variant: str = "tpu"
+    transformer_final_norm: bool = False
+    ln_eps: float = 1e-6
+    d_model_override: Optional[int] = None
 
     @property
     def d_model(self) -> int:
-        return self.latent_channels * self.num_keypoints
+        return self.d_model_override or (self.latent_channels * self.num_keypoints)
 
     def setup(self):
         self.gcae = GCAE(
@@ -69,7 +78,12 @@ class Shopformer(nn.Module):
             layout=self.layout,
             dropout=self.dropout if self.variant == "v1" else 0.0,
             dtype=self.dtype,
+            strides_override=self.gcae_strides,
+            token_order=self.token_order,
+            pool_to_tokens=self.pool_to_tokens,
+            decoder_variant=self.gcae_decoder_variant,
         )
+        embed = self.latent_channels * self.num_keypoints
         self.transformer = ShopformerTransformer(
             d_model=self.d_model,
             num_heads=self.num_heads,
@@ -79,6 +93,9 @@ class Shopformer(nn.Module):
             dropout=self.dropout,
             variant=self.variant,
             dtype=self.dtype,
+            input_dim=embed if embed != self.d_model else None,
+            final_norm=self.transformer_final_norm,
+            ln_eps=self.ln_eps,
         )
 
     # -- components ----------------------------------------------------------
@@ -197,6 +214,13 @@ class Shopformer(nn.Module):
             dropout=float(m.get("dropout", 0.1)),
             variant=m.get("variant", "v2"),
             dtype=dtype,
+            gcae_strides=(tuple(m["gcae_strides"]) if m.get("gcae_strides") else None),
+            token_order=m.get("token_order", "vc"),
+            pool_to_tokens=bool(m.get("pool_to_tokens", True)),
+            gcae_decoder_variant=m.get("gcae_decoder_variant", "tpu"),
+            transformer_final_norm=bool(m.get("transformer_final_norm", False)),
+            ln_eps=float(m.get("ln_eps", 1e-6)),
+            d_model_override=(int(m["d_model"]) if m.get("d_model") else None),
         )
 
     def init_variables(self, rng: jax.Array, batch_size: int = 2):

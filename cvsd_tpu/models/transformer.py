@@ -62,7 +62,11 @@ class _FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        act = nn.relu if self.activation == "relu" else nn.gelu
+        # exact (erf) gelu: torch's default, and what the reference's stock
+        # v2 layers compute — flax's default tanh approximation differs at
+        # the 1e-4 level, enough to break checkpoint-import equivalence
+        act = nn.relu if self.activation == "relu" else (
+            lambda x: nn.gelu(x, approximate=False))
         x = nn.Dense(self.d_ff, kernel_init=_xavier, dtype=self.dtype)(x)
         x = act(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -82,6 +86,7 @@ class TransformerEncoderLayer(nn.Module):
     norm_first: bool = False
     activation: str = "relu"
     dtype: Any = jnp.float32
+    ln_eps: float = 1e-6  # torch parity (import) uses 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -90,7 +95,8 @@ class TransformerEncoderLayer(nn.Module):
             dropout_rate=self.dropout, deterministic=not train, dtype=self.dtype,
         )
         ffn = _FeedForward(self.d_model, self.d_ff, self.dropout, self.activation, self.dtype)
-        ln1, ln2 = nn.LayerNorm(dtype=self.dtype), nn.LayerNorm(dtype=self.dtype)
+        ln1 = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype)
+        ln2 = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype)
         drop = nn.Dropout(self.dropout, deterministic=not train)
         if self.norm_first:
             h = ln1(x)
@@ -113,6 +119,7 @@ class TransformerDecoderLayer(nn.Module):
     norm_first: bool = False
     activation: str = "relu"
     dtype: Any = jnp.float32
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, tgt: jax.Array, memory: jax.Array, train: bool = False) -> jax.Array:
@@ -122,7 +129,7 @@ class TransformerDecoderLayer(nn.Module):
         )
         self_attn, cross_attn = mk_attn(), mk_attn()
         ffn = _FeedForward(self.d_model, self.d_ff, self.dropout, self.activation, self.dtype)
-        ln1, ln2, ln3 = (nn.LayerNorm(dtype=self.dtype) for _ in range(3))
+        ln1, ln2, ln3 = (nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype) for _ in range(3))
         drop = nn.Dropout(self.dropout, deterministic=not train)
         if self.norm_first:
             h = ln1(tgt)
@@ -151,6 +158,12 @@ class ShopformerTransformer(nn.Module):
     input_dim: Optional[int] = None  # != d_model -> Dense projections (v2 :90-99)
     variant: str = "v2"
     dtype: Any = jnp.float32
+    # reference-mirror options (torch checkpoint import): the stock torch
+    # nn.TransformerEncoder/Decoder the v2 reference builds carry a FINAL
+    # LayerNorm after the layer stack (shopformer_2/models/transformer.py:
+    # 114-136); torch LayerNorm eps is 1e-5
+    final_norm: bool = False
+    ln_eps: float = 1e-6
 
     def setup(self):
         d_in = self.input_dim if self.input_dim is not None else self.d_model
@@ -162,14 +175,18 @@ class ShopformerTransformer(nn.Module):
         self.pos_encoder = PositionalEncoding(self.d_model, self.dropout, self.max_len, self.dtype)
         self.enc_layers = [
             TransformerEncoderLayer(self.d_model, self.num_heads, self.dim_feedforward,
-                                    self.dropout, norm_first, activation, self.dtype)
+                                    self.dropout, norm_first, activation, self.dtype,
+                                    self.ln_eps)
             for _ in range(self.num_encoder_layers)
         ]
         self.dec_layers = [
             TransformerDecoderLayer(self.d_model, self.num_heads, self.dim_feedforward,
-                                    self.dropout, norm_first, activation, self.dtype)
+                                    self.dropout, norm_first, activation, self.dtype,
+                                    self.ln_eps)
             for _ in range(self.num_decoder_layers)
         ]
+        self.enc_norm = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype) if self.final_norm else None
+        self.dec_norm = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype) if self.final_norm else None
         # v1 always projects the output (transformer.py:251,327); v2 only on dim mismatch
         self.out_proj = (
             nn.Dense(d_in, kernel_init=_xavier, dtype=self.dtype)
@@ -186,12 +203,16 @@ class ShopformerTransformer(nn.Module):
         x = self._embed(tokens, train)
         for layer in self.enc_layers:
             x = layer(x, train)
+        if self.enc_norm is not None:
+            x = self.enc_norm(x)
         return x
 
     def decode(self, tgt: jax.Array, memory: jax.Array, train: bool = False) -> jax.Array:
         x = self._embed(tgt, train)
         for layer in self.dec_layers:
             x = layer(x, memory, train)
+        if self.dec_norm is not None:
+            x = self.dec_norm(x)
         return x
 
     def __call__(self, tokens: jax.Array, train: bool = False) -> jax.Array:
@@ -218,9 +239,11 @@ class ShopformerTransformer(nn.Module):
     def from_config(cls, config: Dict[str, Any], dtype: Any = jnp.float32) -> "ShopformerTransformer":
         """YAML -> kwargs mapping (reference: shopformer_2/models/transformer.py:227-276)."""
         m = config["model"]
-        d_model = int(m.get("latent_channels", 8)) * int(m.get("num_keypoints", 18))
+        embed = int(m.get("latent_channels", 8)) * int(m.get("num_keypoints", 18))
+        d_model = int(m.get("d_model", embed))
         return cls(
             d_model=d_model,
+            input_dim=embed if embed != d_model else None,
             num_heads=int(m.get("num_heads", 2)),
             num_encoder_layers=int(m.get("num_encoder_layers", 2)),
             num_decoder_layers=int(m.get("num_decoder_layers", 2)),
@@ -228,6 +251,8 @@ class ShopformerTransformer(nn.Module):
             dropout=float(m.get("dropout", 0.1)),
             variant=m.get("variant", "v2"),
             dtype=dtype,
+            final_norm=bool(m.get("transformer_final_norm", False)),
+            ln_eps=float(m.get("ln_eps", 1e-6)),
         )
 
 
