@@ -56,7 +56,20 @@ def main(argv=None) -> None:
     from cvsd_tpu.models.detector import PersonDetector, make_detect_fn
     from cvsd_tpu.train.detector_train import DetectorTrainer
 
-    kw = dict(img_size=args.img, max_persons=args.max_persons,
+    if args.init_checkpoint:
+        from cvsd_tpu.models.detector import load_detector_checkpoint
+
+        model, variables, _meta = load_detector_checkpoint(args.init_checkpoint)
+        if model.img_size != args.img:
+            print(f"note: checkpoint img_size {model.img_size} overrides --img")
+    else:
+        model = PersonDetector(img_size=args.img, width_mult=args.width,
+                               depth_mult=args.depth, num_keypoints=args.kpts)
+        variables = None
+
+    # dataset letterboxes to the MODEL's canvas (an init checkpoint's
+    # img_size wins over --img)
+    kw = dict(img_size=model.img_size, max_persons=args.max_persons,
               num_keypoints=args.kpts)
     if args.data:
         ds = YOLODetectionDataset.from_data_yaml(args.data, split=args.split, **kw)
@@ -70,17 +83,6 @@ def main(argv=None) -> None:
     n_eval = int(len(ds) * args.eval_frac)
     order = rng.permutation(len(ds))
     eval_idx, train_idx = order[:n_eval], order[n_eval:]
-
-    if args.init_checkpoint:
-        from cvsd_tpu.models.detector import load_detector_checkpoint
-
-        model, variables, _meta = load_detector_checkpoint(args.init_checkpoint)
-        if model.img_size != args.img:
-            print(f"note: checkpoint img_size {model.img_size} overrides --img")
-    else:
-        model = PersonDetector(img_size=args.img, width_mult=args.width,
-                               depth_mult=args.depth, num_keypoints=args.kpts)
-        variables = None
     trainer = DetectorTrainer(model, lr=args.lr, seed=args.seed,
                               total_steps=args.steps,
                               warmup_steps=max(args.steps // 20, 1),

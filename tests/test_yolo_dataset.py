@@ -113,6 +113,42 @@ def test_from_data_yaml(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_detector_cli_init_checkpoint(tmp_path):
+    """Fine-tune from an existing checkpoint (--init-checkpoint): the
+    imported-yolov5u workflow shape. The checkpoint's architecture wins."""
+    import jax
+
+    from cvsd_tpu.cli.train_detector import main
+    from cvsd_tpu.models.detector import PersonDetector
+    from cvsd_tpu.train.detector_train import DetectorTrainer
+
+    img_dir, _ = _make_dataset(str(tmp_path), n=4)
+    model = PersonDetector(img_size=64, width_mult=0.25, depth_mult=0.34,
+                           num_keypoints=0, dtype=np.float32)
+    trainer = DetectorTrainer(model, lr=1e-3)
+    init_ckpt = str(tmp_path / "init.msgpack")
+    trainer.save(init_ckpt, use_ema=False)
+
+    out_ckpt = str(tmp_path / "tuned.msgpack")
+    summary = str(tmp_path / "s.json")
+    main(["--images", img_dir, "--steps", "2", "--scan-chunk", "2",
+          "--batch", "2", "--init-checkpoint", init_ckpt, "--eval-frac", "0",
+          "--save-checkpoint", out_ckpt, "--output", summary])
+    import json
+
+    s = json.load(open(summary))
+    assert np.isfinite(s["train_loss_last"])
+    from cvsd_tpu.models.detector import load_detector_checkpoint
+
+    m2, v2, _ = load_detector_checkpoint(out_ckpt)
+    assert m2.img_size == 64 and abs(m2.width_mult - 0.25) < 1e-9
+    # weights actually moved from the init point
+    p0 = jax.tree_util.tree_leaves(trainer.variables["params"])[0]
+    p1 = jax.tree_util.tree_leaves(v2["params"])[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+@pytest.mark.slow
 def test_train_detector_cli_end_to_end(tmp_path):
     """The full CLI surface: YOLO dataset -> DetectorTrainer -> checkpoint."""
     img_dir, _ = _make_dataset(str(tmp_path), n=6, kpts=0)
