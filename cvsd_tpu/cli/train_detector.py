@@ -38,7 +38,9 @@ def main(argv=None) -> None:
     p.add_argument("--img", type=int, default=320)
     p.add_argument("--width", type=float, default=0.375)
     p.add_argument("--depth", type=float, default=0.34)
-    p.add_argument("--kpts", type=int, default=0, help="keypoints per object (pose datasets)")
+    p.add_argument("--kpts", type=int, default=None,
+                   help="keypoints per object (default: from the init "
+                        "checkpoint, else data.yaml kpt_shape, else 0)")
     p.add_argument("--max-persons", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--ema", type=float, default=0.0, help="EMA decay (0 = off)")
@@ -56,21 +58,39 @@ def main(argv=None) -> None:
     from cvsd_tpu.models.detector import PersonDetector, make_detect_fn
     from cvsd_tpu.train.detector_train import DetectorTrainer
 
+    kpts = args.kpts
     if args.init_checkpoint:
         from cvsd_tpu.models.detector import load_detector_checkpoint
 
         model, variables, _meta = load_detector_checkpoint(args.init_checkpoint)
         if model.img_size != args.img:
             print(f"note: checkpoint img_size {model.img_size} overrides --img")
+        if kpts is not None and kpts != model.num_keypoints:
+            print(f"note: checkpoint num_keypoints {model.num_keypoints} "
+                  f"overrides --kpts {kpts}")
+        # the checkpoint's pose head dictates kpts: training a pose head
+        # against the zero-filled default targets would regress every
+        # keypoint to the canvas origin
+        kpts = model.num_keypoints
     else:
+        if kpts is None and args.data:
+            import yaml
+
+            with open(args.data) as f:
+                spec = yaml.safe_load(f) or {}
+            if spec.get("kpt_shape"):
+                kpts = int(spec["kpt_shape"][0])
+                print(f"note: data.yaml kpt_shape -> {kpts} keypoints")
+        kpts = kpts or 0
         model = PersonDetector(img_size=args.img, width_mult=args.width,
-                               depth_mult=args.depth, num_keypoints=args.kpts)
+                               depth_mult=args.depth, num_keypoints=kpts)
         variables = None
+    args.kpts = kpts
 
     # dataset letterboxes to the MODEL's canvas (an init checkpoint's
     # img_size wins over --img)
     kw = dict(img_size=model.img_size, max_persons=args.max_persons,
-              num_keypoints=args.kpts)
+              num_keypoints=kpts)
     if args.data:
         ds = YOLODetectionDataset.from_data_yaml(args.data, split=args.split, **kw)
     elif args.images:
@@ -89,6 +109,12 @@ def main(argv=None) -> None:
                               ema_decay=args.ema)
     if variables is not None:
         trainer.variables = variables
+        if trainer.ema_params is not None:
+            # re-snapshot the EMA from the LOADED weights, not the random init
+            import jax
+
+            trainer.ema_params = jax.tree_util.tree_map(lambda x: x,
+                                                        variables["params"])
 
     def sample_batch():
         idxs = rng.choice(train_idx, size=args.batch, replace=len(train_idx) < args.batch)
@@ -138,7 +164,9 @@ def main(argv=None) -> None:
                 ev_k[j] = kp
         detect = make_detect_fn(model, conf_thresh=0.25, iou_thresh=0.45,
                                 max_detections=args.max_persons)
-        res = evaluate_detector(detect, trainer.variables, ev_imgs, ev_b, ev_v,
+        # evaluate the SAME weights that get saved (EMA when enabled)
+        eval_vars = trainer.ema_variables if args.ema else trainer.variables
+        res = evaluate_detector(detect, eval_vars, ev_imgs, ev_b, ev_v,
                                 ev_k if args.kpts else None, coco_map=True)
         summary.update(ap50=res["ap"], map50_95=res.get("map50_95"),
                        pose_map50_95=res.get("pose_map50_95"),

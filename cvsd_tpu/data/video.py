@@ -138,9 +138,12 @@ class VideoBatcher:
 
         def producer_msd():
             # native batched decode straight into the ring slot: one C++
-            # call per batch, no Python per-frame work at all
-            dec = self._open_native_decoder()
+            # call per batch, no Python per-frame work at all. Construct
+            # INSIDE the try: a constructor failure must still close the
+            # ring or the consumer blocks forever.
+            dec = None
             try:
+                dec = self._open_native_decoder()
                 while True:
                     slot = rb.acquire_write()
                     if slot < 0:
@@ -160,7 +163,8 @@ class VideoBatcher:
                     if k < B:
                         return
             finally:
-                dec.close()
+                if dec is not None:
+                    dec.close()
                 rb.close()
 
         def producer_cv2():
@@ -228,8 +232,9 @@ class VideoBatcher:
         if self.use_native_decode:
             B = self.batch_size
             H, W = self.info.height, self.info.width
-            dec = self._open_native_decoder()
+            dec = None
             try:
+                dec = self._open_native_decoder()
                 while True:
                     frames = np.zeros((B, H, W, 3), np.uint8)
                     numbers, stamps, k = dec.next_batch_into(frames)
@@ -241,7 +246,8 @@ class VideoBatcher:
                     if k < B:
                         break
             finally:
-                dec.close()
+                if dec is not None:
+                    dec.close()
                 q.put(None)
             return
         cap = cv2.VideoCapture(self.path)

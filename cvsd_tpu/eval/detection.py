@@ -101,6 +101,33 @@ def _coco_ap(precision: np.ndarray, recall: np.ndarray) -> float:
     return float(np.mean(interp))
 
 
+def _greedy_pr_curve(per_image, total_gt: int, thresh: float):
+    """Greedy matching (score-descending, per image) at one similarity
+    threshold over precomputed (scores_desc, sim_matrix) pairs -> PR curve."""
+    all_tp, all_scores = [], []
+    for ps, sim in per_image:
+        taken = np.zeros(sim.shape[1], bool)
+        tp = np.zeros(len(ps), bool)
+        for i in range(len(ps)):
+            if sim.shape[1] == 0:
+                break
+            j = int(np.argmax(np.where(taken, -1.0, sim[i])))
+            if sim[i, j] >= thresh and not taken[j]:
+                taken[j] = True
+                tp[i] = True
+        all_tp.append(tp)
+        all_scores.append(ps)
+    tp = np.concatenate(all_tp) if all_tp else np.zeros(0, bool)
+    scores = np.concatenate(all_scores) if all_scores else np.zeros(0, np.float32)
+    order = np.argsort(-scores)
+    tp = tp[order]
+    cum_tp = np.cumsum(tp)
+    cum_fp = np.cumsum(~tp)
+    precision = cum_tp / np.maximum(cum_tp + cum_fp, 1)
+    recall = cum_tp / max(total_gt, 1)
+    return precision, recall
+
+
 def detection_map(
     pred_boxes: Sequence[np.ndarray],
     pred_scores: Sequence[np.ndarray],
@@ -111,13 +138,23 @@ def detection_map(
     The reference's detector quality is whatever ultralytics validates
     (/root/reference/model.py:18 trusts yolov5mu.pt); ultralytics' standard
     val report is mAP50/mAP50-95, so this makes that axis a measured
-    quantity here too. Returns {'map50', 'map75', 'map50_95', 'per_iou'}.
+    quantity here too. IoU matrices are computed ONCE per image and reused
+    across thresholds (the greedy matching itself is threshold-dependent).
+    Returns {'map50', 'map75', 'map50_95', 'per_iou'}.
     """
-    thresholds = np.arange(0.50, 0.951, 0.05)
+    per_image = []
+    total_gt = 0
+    for pb, ps, gb in zip(pred_boxes, pred_scores, gt_boxes):
+        pb = np.asarray(pb, np.float32)
+        ps = np.asarray(ps, np.float32)
+        gb = np.asarray(gb, np.float32)
+        order = np.argsort(-ps)
+        per_image.append((ps[order], _iou_matrix(pb[order], gb)))
+        total_gt += len(gb)
     per_iou = {}
-    for t in thresholds:
-        pr = detection_pr(pred_boxes, pred_scores, gt_boxes, iou_thresh=float(t))
-        per_iou[round(float(t), 2)] = _coco_ap(pr["precision"], pr["recall"])
+    for t in np.arange(0.50, 0.951, 0.05):
+        precision, recall = _greedy_pr_curve(per_image, total_gt, float(t))
+        per_iou[round(float(t), 2)] = _coco_ap(precision, recall)
     aps = list(per_iou.values())
     return {
         "map50": per_iou[0.5],
@@ -163,9 +200,8 @@ def pose_map(
     0.50:0.95:0.05, 101-point AP, averaged. Mirrors ultralytics' pose-val
     metric so the top-down pose path is measurable on the standard axis.
     """
-    thresholds = np.arange(0.50, 0.951, 0.05)
-    per_oks: Dict[float, float] = {}
-    # Precompute greedy matches per image once; threshold just gates them.
+    # OKS matrices computed once per image; the (threshold-dependent) greedy
+    # matching re-runs per threshold over the cached matrices.
     per_image = []
     total_gt = 0
     for pk, ps, gk, gb in zip(pred_kpts, pred_scores, gt_kpts, gt_boxes):
@@ -176,31 +212,11 @@ def pose_map(
         areas = (np.clip(gb[:, 2] - gb[:, 0], 0, None)
                  * np.clip(gb[:, 3] - gb[:, 1], 0, None)) if len(gb) else np.zeros(0)
         order = np.argsort(-ps)
-        oks = oks_matrix(pk[order], gk, areas, sigmas)
-        per_image.append((ps[order], oks))
+        per_image.append((ps[order], oks_matrix(pk[order], gk, areas, sigmas)))
         total_gt += len(gk)
-    for t in thresholds:
-        all_tp, all_scores = [], []
-        for ps, oks in per_image:
-            taken = np.zeros(oks.shape[1], bool)
-            tp = np.zeros(len(ps), bool)
-            for i in range(len(ps)):
-                if oks.shape[1] == 0:
-                    break
-                j = int(np.argmax(np.where(taken, -1.0, oks[i])))
-                if oks[i, j] >= t and not taken[j]:
-                    taken[j] = True
-                    tp[i] = True
-            all_tp.append(tp)
-            all_scores.append(ps)
-        tp = np.concatenate(all_tp) if all_tp else np.zeros(0, bool)
-        scores = np.concatenate(all_scores) if all_scores else np.zeros(0, np.float32)
-        order = np.argsort(-scores)
-        tp = tp[order]
-        cum_tp = np.cumsum(tp)
-        cum_fp = np.cumsum(~tp)
-        precision = cum_tp / np.maximum(cum_tp + cum_fp, 1)
-        recall = cum_tp / max(total_gt, 1)
+    per_oks: Dict[float, float] = {}
+    for t in np.arange(0.50, 0.951, 0.05):
+        precision, recall = _greedy_pr_curve(per_image, total_gt, float(t))
         per_oks[round(float(t), 2)] = _coco_ap(precision, recall)
     aps = list(per_oks.values())
     return {"pose_map50": per_oks[0.5], "pose_map50_95": float(np.mean(aps)),

@@ -424,14 +424,22 @@ def process_videos_multiplexed(
             use_native = False
 
     if use_native:
+        # probe every item (same mixed-resolution guard as the Python
+        # open_next path raises); unopenable videos just contribute nothing
+        from cvsd_tpu.data.video import video_info
+
         for it in items:
-            cap = cv2.VideoCapture(it[0])
-            if cap.isOpened():
-                src_h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-                src_w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-                cap.release()
-                break
-            cap.release()
+            try:
+                info = video_info(it[0])
+            except Exception:
+                continue
+            if src_h is None:
+                src_h, src_w = info.height, info.width
+            elif (info.height, info.width) != (src_h, src_w):
+                raise ValueError(
+                    f"{it[0]}: {info.height}x{info.width} differs from group "
+                    f"resolution {src_h}x{src_w}; group videos by resolution "
+                    "before multiplexing")
         if src_h is None:
             dt = time.perf_counter() - t0
             return {"videos": 0, "frames": 0, "rows": 0, "seconds": dt, "fps": 0.0}

@@ -252,6 +252,36 @@ def convert_state_dict(
         if "transformer.input_projection.weight" in sd:
             t["in_proj"] = _linear(sd, "transformer.input_projection")
             t["out_proj"] = _linear(sd, "transformer.output_projection")
+
+    # guard against silently dropping depth: any layer index in the state
+    # dict beyond the configured counts means the model config is wrong
+    import re
+
+    bounds = ((r"transformer\.(?:encoder_layers|encoder\.layers)\.(\d+)\.", n_enc,
+               "num_encoder_layers"),
+              (r"transformer\.(?:decoder_layers|decoder\.layers)\.(\d+)\.", n_dec,
+               "num_decoder_layers"),
+              (r"gcae\.(?:encoder|decoder)\.layers\.(\d+)\.", None, None))
+    max_gcae_seq = 0
+    for k in sd:
+        mm = re.match(bounds[0][0], k)
+        if mm and int(mm.group(1)) >= n_enc:
+            raise ValueError(f"checkpoint has encoder layer {mm.group(1)} but "
+                             f"config num_encoder_layers={n_enc}")
+        mm = re.match(bounds[1][0], k)
+        if mm and int(mm.group(1)) >= n_dec:
+            raise ValueError(f"checkpoint has decoder layer {mm.group(1)} but "
+                             f"config num_decoder_layers={n_dec}")
+        mm = re.match(r"gcae\.encoder\.layers\.(\d+)\.", k)
+        if mm and int(mm.group(1)) >= n_layers:
+            raise ValueError(f"checkpoint has GCAE block {mm.group(1)} but "
+                             f"config gcae_layers={n_layers}")
+        mm = re.match(r"gcae\.decoder\.layers\.(\d+)\.", k)
+        if mm:
+            max_gcae_seq = max(max_gcae_seq, int(mm.group(1)))
+    if max_gcae_seq >= seq_idx:
+        raise ValueError(f"checkpoint decoder Sequential index {max_gcae_seq} "
+                         f"beyond the configured stack (expected < {seq_idx})")
     return {"params": params, "batch_stats": stats}
 
 
@@ -297,7 +327,10 @@ def import_shopformer_checkpoint(
             num_tokens=int(m.get("num_tokens", 2)),
             hidden_channels=int(m.get("hidden_channels", 64)),
             latent_channels=int(m.get("latent_channels", 8)),
+            gcae_layers=int(m.get("gcae_layers", m.get("gcae_num_layers", 4))),
             num_heads=int(m.get("num_heads", m.get("nhead", 2))),
+            num_encoder_layers=int(m.get("num_encoder_layers", 2)),
+            num_decoder_layers=int(m.get("num_decoder_layers", 2)),
             dim_feedforward=int(m.get("dim_feedforward", 64)),
             d_model=m.get("d_model"),
         )

@@ -107,13 +107,14 @@ int msd_next(void* h, int B, unsigned char* out, int* stream_idx,
     cv::Mat dst(d->out_h, d->out_w, CV_8UC3, base);
     if (d->mode == 0) {
       if (frame.cols != d->out_w || frame.rows != d->out_h) {
-        // resolution mismatch would detach dst from the batch buffer —
-        // drop the stream (callers group by resolution; this is defensive)
-        st->cap.release();
-        d->open_next();
-        continue;
+        // some codecs lie about container dims (same fallback as the cv2
+        // producer, data/video.py): resize to the declared geometry
+        cv::resize(frame, resized, cv::Size(d->out_w, d->out_h), 0, 0,
+                   cv::INTER_LINEAR);
+        cv::cvtColor(resized, dst, cv::COLOR_BGR2RGB);
+      } else {
+        cv::cvtColor(frame, dst, cv::COLOR_BGR2RGB);
       }
-      cv::cvtColor(frame, dst, cv::COLOR_BGR2RGB);
     } else {
       cv::resize(frame, resized, cv::Size(d->nw, d->nh), 0, 0,
                  cv::INTER_LINEAR);
@@ -142,18 +143,6 @@ void msd_close(void* h) {
   auto* d = static_cast<MSDecoder*>(h);
   for (auto& st : d->active) st->cap.release();
   delete d;
-}
-
-// Single-video convenience used by VideoBatcher: probe geometry without
-// holding a second handle open in Python.
-int msd_probe(const char* path, int* w, int* h, double* fps, int* frames) {
-  cv::VideoCapture cap(path);
-  if (!cap.isOpened()) return 0;
-  *w = static_cast<int>(cap.get(cv::CAP_PROP_FRAME_WIDTH));
-  *h = static_cast<int>(cap.get(cv::CAP_PROP_FRAME_HEIGHT));
-  *fps = cap.get(cv::CAP_PROP_FPS);
-  *frames = static_cast<int>(cap.get(cv::CAP_PROP_FRAME_COUNT));
-  return 1;
 }
 
 }  // extern "C"

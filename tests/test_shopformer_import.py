@@ -271,6 +271,21 @@ def test_import_matches_torch_mirror(variant, V):
     np.testing.assert_allclose(f_score, t_score.numpy(), rtol=1e-4, atol=1e-5)
 
 
+def test_convert_rejects_depth_mismatch():
+    """A checkpoint with more transformer layers than the config must raise,
+    not silently drop the extra layers."""
+    torch.manual_seed(3)
+    tm = TShopformer("v1", 17)
+    sd = tm.state_dict()
+    # forge an extra encoder layer by duplicating layer 1 as layer 2
+    extra = {k.replace("encoder_layers.1", "encoder_layers.2"): v
+             for k, v in sd.items() if "encoder_layers.1" in k}
+    sd.update(extra)
+    cfg = reference_model_config("v1", num_keypoints=17)  # 2 encoder layers
+    with pytest.raises(ValueError, match="encoder layer 2"):
+        convert_state_dict(sd, cfg)
+
+
 def test_import_checkpoint_file_roundtrip(tmp_path):
     """The reference's on-disk format ({'model_state_dict': ...}) loads via
     import_shopformer_checkpoint and scores finitely."""
