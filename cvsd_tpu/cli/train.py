@@ -29,6 +29,22 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     cfg = resolve_config(args)
+    if args.checkpoint and not args.config:
+        # adopt the resume checkpoint's embedded MODEL architecture (e.g. an
+        # imported reference checkpoint's ref-mirror knobs, cli.import_shopformer)
+        # so the rebuilt model matches the weights; explicit --set model.*
+        # flags still win
+        from cvsd_tpu.config import apply_overrides
+        from cvsd_tpu.utils.checkpoint import load_checkpoint
+
+        _state, meta = load_checkpoint(args.checkpoint)
+        emb = ((meta or {}).get("config") or {}).get("model")
+        if emb:
+            cfg = dict(cfg)
+            cfg["model"] = {**cfg.get("model", {}), **emb}
+            cfg = apply_overrides(
+                cfg, [o for o in (getattr(args, "overrides", []) or [])
+                      if o.startswith("model.")])
     if args.output_dir:
         cfg["experiment"]["checkpoint_dir"] = args.output_dir
 

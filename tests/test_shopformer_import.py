@@ -306,3 +306,34 @@ def test_import_checkpoint_file_roundtrip(tmp_path):
     with torch.no_grad():
         *_rest, t_score = tm(torch.from_numpy(np.transpose(poses, (0, 3, 1, 2))))
     np.testing.assert_allclose(scores, t_score.numpy(), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_imported_checkpoint_finetunes_via_cli(tmp_path):
+    """cli.train --stage 2 --checkpoint <imported> adopts the embedded
+    ref-mirror model config (no manual --set model.* flags) and trains."""
+    from cvsd_tpu.cli.import_shopformer import main as imp
+    from cvsd_tpu.cli.train import main as train_main
+
+    torch.manual_seed(9)
+    tm = TShopformer("v1", 17)
+    tm.eval()
+    pt = str(tmp_path / "best_model.pt")
+    torch.save({"model_state_dict": tm.state_dict()}, pt)
+    ck = str(tmp_path / "imported.msgpack")
+    imp(["--torch_checkpoint", pt, "--variant", "v1", "--output", ck])
+    out = str(tmp_path / "ft")
+    train_main(["--use_synthetic", "--stage", "2", "--checkpoint", ck,
+                "--set", "data.synthetic.num_train=16",
+                "--set", "data.synthetic.num_test=8",
+                "--set", "training.stage2_epochs=1",
+                "--set", "data.batch_size=8", "--output_dir", out])
+    import json
+    import os
+
+    res = json.load(open(os.path.join(out, "training_results.json")))
+    assert np.isfinite(res["test_metrics"]["auc_roc"])
+    # the rebuilt model must be the v1 ref-mirror (17 kpts, cv order)
+    cfg = json.load(open(os.path.join(out, "config.json")))
+    assert cfg["model"]["num_keypoints"] == 17
+    assert cfg["model"]["token_order"] == "cv"
