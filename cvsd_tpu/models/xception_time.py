@@ -187,7 +187,13 @@ class XceptionTimeClassifier:
         return self.model.init({"params": jax.random.PRNGKey(self.seed)}, dummy, train=False)
 
     def train(self, X: np.ndarray, y: np.ndarray, epochs: int = 20, lr: float = 3e-4,
-              batch_size: int = 64, valid_frac: float = 0.2, verbose: bool = False) -> Dict[str, Any]:
+              batch_size: int = 64, valid_frac: float = 0.2, verbose: bool = False,
+              scan_epoch: bool = True) -> Dict[str, Any]:
+        """One-cycle training (tsai fit_one_cycle parity). With scan_epoch
+        (default) the whole epoch runs under ONE lax.scan dispatch — per-step
+        host syncs cost a full relay round-trip each on remote-attached
+        chips (same treatment as training.scan_epoch / train_steps_scan);
+        the batch sequence is identical either way."""
         Xtr, ytr, Xva, yva = stratified_split(X, y, valid_frac, self.seed)
         self.standardizer.fit(Xtr)
         Xtr, Xva = self.standardizer(Xtr), self.standardizer(Xva) if len(Xva) else Xva
@@ -202,8 +208,7 @@ class XceptionTimeClassifier:
 
         model = self.model
 
-        @jax.jit
-        def step(params, batch_stats, opt_state, xb, yb):
+        def one_step(params, batch_stats, opt_state, xb, yb):
             def loss_fn(p, bs):
                 logits, updates = model.apply({"params": p, "batch_stats": bs}, xb, train=True,
                                               mutable=["batch_stats"])
@@ -214,19 +219,40 @@ class XceptionTimeClassifier:
             updates, new_opt = opt.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), new_bs, new_opt, loss
 
+        step = jax.jit(one_step)
+
+        @jax.jit
+        def epoch_scan(params, batch_stats, opt_state, xs, ys):
+            def body(carry, batch):
+                p, bs, os_ = carry
+                xb, yb = batch
+                p, bs, os_, loss = one_step(p, bs, os_, xb, yb)
+                return (p, bs, os_), loss
+
+            (params, batch_stats, opt_state), losses = jax.lax.scan(
+                body, (params, batch_stats, opt_state), (xs, ys))
+            return params, batch_stats, opt_state, losses
+
         rng = np.random.default_rng(self.seed)
         history = []
         for epoch in range(epochs):
-            order = rng.permutation(len(Xtr))
-            losses = []
-            for s in range(0, steps_per_epoch * batch_size, batch_size):
-                idx = order[s : s + batch_size]
-                if len(idx) < batch_size:
-                    break
-                params, batch_stats, opt_state, loss = step(
-                    params, batch_stats, opt_state, jnp.asarray(Xtr[idx]), jnp.asarray(ytr[idx])
-                )
-                losses.append(float(loss))
+            order = rng.permutation(len(Xtr))[: steps_per_epoch * batch_size]
+            if scan_epoch and len(order) >= steps_per_epoch * batch_size:
+                idx = order.reshape(steps_per_epoch, batch_size)
+                params, batch_stats, opt_state, losses = epoch_scan(
+                    params, batch_stats, opt_state,
+                    jnp.asarray(Xtr[idx]), jnp.asarray(ytr[idx]))
+                losses = np.asarray(losses).tolist()
+            else:
+                losses = []
+                for s in range(0, steps_per_epoch * batch_size, batch_size):
+                    idx = order[s : s + batch_size]
+                    if len(idx) < batch_size:
+                        break
+                    params, batch_stats, opt_state, loss = step(
+                        params, batch_stats, opt_state, jnp.asarray(Xtr[idx]), jnp.asarray(ytr[idx])
+                    )
+                    losses.append(float(loss))
             rec = {"epoch": epoch + 1, "loss": float(np.mean(losses)) if losses else float("nan")}
             if len(Xva):
                 acc = float((self._predict_logits(params, batch_stats, Xva).argmax(-1) == yva).mean())

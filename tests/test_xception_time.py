@@ -68,3 +68,24 @@ def test_xceptiontime_learns_separable_classes(tmp_path):
     clf.save(p)
     clf2 = XceptionTimeClassifier.load(p)
     np.testing.assert_array_equal(clf2.predict(X), preds)
+
+
+def test_scan_epoch_matches_loop():
+    """scan_epoch=True runs the identical batch sequence under one lax.scan
+    per epoch; results match the per-step loop up to float reassociation."""
+    import numpy as np
+
+    from cvsd_tpu.models.xception_time import XceptionTimeClassifier
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(100, 32, 6)).astype(np.float32)
+    y = (X.mean((1, 2)) > 0).astype(np.int64)
+    a = XceptionTimeClassifier(num_channels=6, seq_len=32, nf=8, seed=1)
+    ha = a.train(X, y, epochs=2, batch_size=16, scan_epoch=True)
+    b = XceptionTimeClassifier(num_channels=6, seq_len=32, nf=8, seed=1)
+    hb = b.train(X, y, epochs=2, batch_size=16, scan_epoch=False)
+    la = [r["loss"] for r in ha["history"]]
+    lb = [r["loss"] for r in hb["history"]]
+    np.testing.assert_allclose(la, lb, rtol=1e-4)
+    np.testing.assert_allclose(a.predict_proba(X), b.predict_proba(X),
+                               rtol=5e-3, atol=1e-3)
