@@ -442,7 +442,8 @@ def process_videos_multiplexed(
                     "before multiplexing")
         if src_h is None:
             dt = time.perf_counter() - t0
-            return {"videos": 0, "frames": 0, "rows": 0, "seconds": dt, "fps": 0.0}
+            return {"rows_by_item": [[] for _ in items], "frames": 0,
+                    "detections": 0, "seconds": dt, "stage_seconds": {}}
         if host_lb:
             size = pipeline._canvas_size(src_h, src_w)
             lb = (size,) + letterbox_params(src_h, src_w, size)
@@ -451,7 +452,8 @@ def process_videos_multiplexed(
             pass
         if not active:
             dt = time.perf_counter() - t0
-            return {"videos": 0, "frames": 0, "rows": 0, "seconds": dt, "fps": 0.0}
+            return {"rows_by_item": [[] for _ in items], "frames": 0,
+                    "detections": 0, "seconds": dt, "stage_seconds": {}}
 
     content = pipeline.host_lb_content
 
@@ -487,6 +489,8 @@ def process_videos_multiplexed(
                 else:
                     frames[k, py:py + nh, px:px + nw] = r[..., ::-1]
             else:
+                if frame.shape[:2] != (src_h, src_w):  # defensive: codecs lie
+                    frame = cv2.resize(frame, (src_w, src_h))
                 frames[k] = frame[..., ::-1]
             meta[k] = (st, st["frame_no"])
             k += 1
@@ -564,19 +568,25 @@ def process_videos_multiplexed(
         q: "_queue.Queue" = _queue.Queue(maxsize=max(2, depth))
 
         def _producer() -> None:
-            while True:
-                t1 = time.perf_counter()
-                frames, meta, k = read_batch()
-                stage["read"] += time.perf_counter() - t1
-                if not k:
-                    q.put(None)
-                    return
-                q.put((frames, meta, k))
+            try:
+                while True:
+                    t1 = time.perf_counter()
+                    frames, meta, k = read_batch()
+                    stage["read"] += time.perf_counter() - t1
+                    if not k:
+                        q.put(None)
+                        return
+                    q.put((frames, meta, k))
+            except BaseException as e:  # noqa: BLE001 — surfaced in consumer
+                # a dead producer without a sentinel would hang the loop
+                q.put(e)
 
         threading.Thread(target=_producer, daemon=True).start()
 
         def next_batch():
             item = q.get()
+            if isinstance(item, BaseException):
+                raise item
             return item if item is not None else (None, None, 0)
     else:
         def next_batch():

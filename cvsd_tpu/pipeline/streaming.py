@@ -42,17 +42,29 @@ class ScoreEvent:
 
 
 class _TrackWindow:
-    """Per-track ring buffer of keypoints feeding the tokenizer."""
+    """Per-track ring buffer of keypoints feeding the tokenizer.
 
-    def __init__(self, seq_len: int, stride: int):
+    Frame-gap continuity mirrors the PoseLift data layer (data/poselift.py
+    rejects windows containing gaps > max_gap): the tracker re-associates
+    through occlusions up to max_misses frames, so without this check a
+    window could stitch pre- and post-occlusion poses into one sequence the
+    training distribution never contained."""
+
+    def __init__(self, seq_len: int, stride: int, max_gap: int = 5):
         self.seq_len = seq_len
         self.stride = stride
+        self.max_gap = int(max_gap)
         self.kpts: deque = deque(maxlen=seq_len)
         self.frames: deque = deque(maxlen=seq_len)
         self.stamps: deque = deque(maxlen=seq_len)
         self._since_emit = 0
 
     def push(self, kpts: np.ndarray, frame_no: int, stamp: float) -> Optional[Dict[str, Any]]:
+        if self.frames and frame_no - self.frames[-1] > self.max_gap:
+            self.kpts.clear()
+            self.frames.clear()
+            self.stamps.clear()
+            self._since_emit = 0
         self.kpts.append(kpts)
         self.frames.append(frame_no)
         self.stamps.append(stamp)
@@ -81,7 +93,9 @@ class StreamingPipeline:
         mesh_config: Optional[Any] = None,
     ):
         cfg = dict(config)
-        cfg.setdefault("detector", {})
+        # own copy of the detector subtree: mutating the caller's nested
+        # dict would leak pose_head=True into configs it embeds elsewhere
+        cfg["detector"] = dict(cfg.get("detector") or {})
         # streaming needs keypoints: either the detector's pose head or the
         # top-down crop pose net (detector.pose_mode == 'topdown')
         if cfg["detector"].get("pose_mode", "head") != "topdown":
@@ -99,6 +113,7 @@ class StreamingPipeline:
         self.seq_len = int(m.get("seq_len", 12))
         self.num_keypoints = int(m.get("num_keypoints", 18))
         self.stride = int(scorer.config.get("data", {}).get("stride", self.seq_len // 2))
+        self.max_gap = int(scorer.config.get("data", {}).get("max_gap", 5))
         self.score_batch = int(scorer.config.get("data", {}).get("batch_size", 32))
         # detection batches kept in flight before the oldest is fetched
         # (amortizes the per-batch relay round-trip; 1 = classic double-buffer)
@@ -165,7 +180,8 @@ class StreamingPipeline:
                         frame_dets.append({"track_id": track_id,
                                            "box": np.asarray(_box, np.float32),
                                            "score": float(_score), "kpts": k})
-                    tw = windows.setdefault(track_id, _TrackWindow(self.seq_len, self.stride))
+                    tw = windows.setdefault(
+                        track_id, _TrackWindow(self.seq_len, self.stride, self.max_gap))
                     done = tw.push(k, frame_no, stamp)
                     if done is not None:
                         pending.append({"track_id": track_id, **done})
@@ -211,21 +227,24 @@ class StreamingPipeline:
             groups.setdefault((info.height, info.width), []).append(p)
         events: List[ScoreEvent] = []
         n_frames = 0
+        n_videos = 0
         for resolution, paths in groups.items():
-            ev, nf = self._stream_group(paths, resolution, max_streams)
+            ev, nf, nv = self._stream_group(paths, resolution, max_streams)
             events.extend(ev)
             n_frames += nf
+            n_videos += nv
         dt = time.perf_counter() - t0
         return {
-            "events": events, "videos": len(video_paths), "frames": n_frames,
+            "events": events, "videos": n_videos, "frames": n_frames,
+            "skipped": len(video_paths) - n_videos,
             "seconds": dt, "fps": n_frames / dt if dt > 0 else 0.0,
-            "videos_per_hour": len(video_paths) / dt * 3600 if dt > 0 else 0.0,
+            "videos_per_hour": n_videos / dt * 3600 if dt > 0 else 0.0,
             "stage_seconds": dict(self._stage_seconds),
         }
 
     def _stream_group(
         self, paths: Sequence[str], resolution: Tuple[int, int], max_streams: int
-    ) -> Tuple[List[ScoreEvent], int]:
+    ) -> Tuple[List[ScoreEvent], int, int]:
         import cv2
 
         events: List[ScoreEvent] = []
@@ -236,9 +255,9 @@ class StreamingPipeline:
         # GIL-released in the decode thread) and upload canvas-sized uint8 —
         # on relay-attached chips the host->device frame upload is the
         # bottleneck (~30 MB/s tunnel), and a 240p->128 canvas is 4.7x fewer
-        # bytes. Boxes then live in canvas coords (tracker IoU is coordinate-
-        # invariant; keypoints are mapped back to source pixels with the same
-        # per-stream scale/pad as the device-letterbox path). cv2 INTER_LINEAR
+        # bytes. Boxes come back unletterboxed in source pixels either way
+        # (the compiled program unmaps them); keypoints are mapped back with
+        # the same per-stream scale/pad as device letterbox. cv2 INTER_LINEAR
         # vs jax.image.resize 'linear' differ in low-order bits, so this is
         # opt-in (detector.host_letterbox) rather than the default.
         host_lb = bool(self.config.get("detector", {}).get("host_letterbox", False))
@@ -246,6 +265,7 @@ class StreamingPipeline:
         lb_scale, lb_px, lb_py, lb_nw, lb_nh = letterbox_params(*resolution, size)
         active: Dict[str, Dict[str, Any]] = {}
         n_frames = 0
+        n_opened = 0  # videos actually decoded (unopenable paths skipped)
         # per-stage wall-clock breakdown (read/detect/track/score), exposed in
         # the stream_videos_concurrent result for throughput diagnosis
         stage = self._stage_seconds
@@ -265,11 +285,13 @@ class StreamingPipeline:
                 use_native = False
 
         def open_next() -> bool:
+            nonlocal n_opened
             while queue:
                 path = queue.pop(0)
                 cap = cv2.VideoCapture(path)
                 if not cap.isOpened():
                     continue
+                n_opened += 1
                 h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
                 w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
                 scale, pad_x, pad_y, _, _ = letterbox_params(h, w, size)
@@ -298,7 +320,9 @@ class StreamingPipeline:
                 if lb_content:  # content-only upload; device adds the padding
                     frames = np.zeros((B, lb_nh, lb_nw, 3), np.uint8)
                 else:
-                    frames = np.full((B, size, size, 3), 114, np.uint8)
+                    from cvsd_tpu.ops.letterbox import PAD_VALUE
+
+                    frames = np.full((B, size, size, 3), PAD_VALUE, np.uint8)
             else:
                 frames = np.zeros((B, h, w, 3), np.uint8)
             meta: List[Optional[Tuple[Dict[str, Any], int, float]]] = [None] * B
@@ -330,6 +354,8 @@ class StreamingPipeline:
                     else:
                         frames[k, lb_py:lb_py + lb_nh, lb_px:lb_px + lb_nw] = r[..., ::-1]
                 else:
+                    if frame.shape[:2] != (h, w):  # defensive: some codecs lie
+                        frame = cv2.resize(frame, (w, h))
                     frames[k] = frame[..., ::-1]
                 meta[k] = (st, st["frame_no"], float(st["cap"].get(cv2.CAP_PROP_POS_MSEC)))
                 k += 1
@@ -355,13 +381,14 @@ class StreamingPipeline:
             nstates: Dict[int, Dict[str, Any]] = {}
 
             def read_batch_native():
-                nonlocal n_frames
+                nonlocal n_frames, n_opened
                 frames, sidx, fno, stamp, k = dec.next_batch(B)
                 meta: List[Optional[Tuple[Dict[str, Any], int, float]]] = [None] * B
                 for b in range(k):
                     si = int(sidx[b])
                     st = nstates.get(si)
                     if st is None:
+                        n_opened += 1
                         st = nstates[si] = {
                             "tracker": IoUTracker(), "windows": {},
                             "scale": lb_scale, "pad": (lb_px, lb_py),
@@ -388,7 +415,8 @@ class StreamingPipeline:
                     kp = det_kpts[di][:, :2].copy()
                     kp[:, 0] = (kp[:, 0] - pad_x) / st["scale"]
                     kp[:, 1] = (kp[:, 1] - pad_y) / st["scale"]
-                    tw = st["windows"].setdefault(track_id, _TrackWindow(self.seq_len, self.stride))
+                    tw = st["windows"].setdefault(
+                        track_id, _TrackWindow(self.seq_len, self.stride, self.max_gap))
                     done = tw.push(kp, frame_no, stamp)
                     if done is not None:
                         pending.append({"track_id": track_id, **done})
@@ -446,19 +474,26 @@ class StreamingPipeline:
             q: _queue.Queue = _queue.Queue(maxsize=max(2, self.stream_depth))
 
             def _producer() -> None:
-                while True:
-                    t0 = time.perf_counter()
-                    frames, meta, k = read_batch()
-                    stage["read"] += time.perf_counter() - t0
-                    if not k:
-                        q.put(None)
-                        return
-                    q.put((frames, meta, k))
+                try:
+                    while True:
+                        t0 = time.perf_counter()
+                        frames, meta, k = read_batch()
+                        stage["read"] += time.perf_counter() - t0
+                        if not k:
+                            q.put(None)
+                            return
+                        q.put((frames, meta, k))
+                except BaseException as e:  # noqa: BLE001 — surfaced in consumer
+                    # a dead producer without a sentinel would hang the main
+                    # loop forever; hand the exception across instead
+                    q.put(e)
 
             threading.Thread(target=_producer, daemon=True).start()
 
             def next_batch():
                 item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
                 return item if item is not None else (None, None, 0)
         else:
             def next_batch():
@@ -509,17 +544,7 @@ class StreamingPipeline:
         stage["score"] += time.perf_counter() - t5
         if dec is not None:
             dec.close()
-        return events, n_frames
-
-    def _score_pending_multi(self, pending: List[Dict[str, Any]], videos: List[str]) -> List[ScoreEvent]:
-        arr = np.stack([self._prepare_window(p["window"]) for p in pending])
-        scores = self.scorer.score(arr, batch_size=self.score_batch)
-        return [
-            ScoreEvent(video=v, track_id=int(p["track_id"]), frame_end=int(p["frames"][-1]),
-                       timestamp_ms=float(p["stamp"]), score=float(s),
-                       frames=[int(f) for f in p["frames"]])
-            for p, v, s in zip(pending, videos, scores)
-        ]
+        return events, n_frames, n_opened
 
     @staticmethod
     def aggregate_events(events: Sequence[ScoreEvent], aggregations=("max", "mean", "percentile_95")) -> Dict[str, Dict[str, float]]:
@@ -542,14 +567,12 @@ class StreamingPipeline:
         t0 = time.perf_counter()
         events: List[ScoreEvent] = []
         n_frames = 0
+        from cvsd_tpu.data.video import video_info
+
         for path in video_paths:
-            batcher_frames_before = n_frames
             for ev in self.stream_video(path):
                 events.append(ev)
-            from cvsd_tpu.data.video import video_info
-
             n_frames += video_info(path).num_frames
-            del batcher_frames_before
         dt = time.perf_counter() - t0
         return {
             "events": events,
