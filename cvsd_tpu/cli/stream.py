@@ -34,6 +34,9 @@ def main(argv=None) -> None:
     p.add_argument("--aggregation", type=str, default="max",
                    choices=["max", "mean", "percentile_95"])
     p.add_argument("--output", type=str, default=None)
+    p.add_argument("--events_jsonl", type=str, default=None,
+                   help="append each scored window as a JSON line AS IT IS "
+                        "SCORED (live sink; --concurrent only)")
     p.add_argument("--no_mesh", action="store_true",
                    help="single-device even when multiple chips are visible "
                         "(default: shard frame batches over the data mesh axis)")
@@ -69,7 +72,19 @@ def main(argv=None) -> None:
     pipe = StreamingPipeline(cfg, scorer, detector_variables=detector_variables,
                              mesh_config=mesh_config)
     if args.concurrent:
-        out = pipe.stream_videos_concurrent(args.videos, max_streams=args.max_streams)
+        sink = open(args.events_jsonl, "w") if args.events_jsonl else None
+        try:
+            on_event = None
+            if sink is not None:
+                def on_event(e):
+                    sink.write(json.dumps(dataclasses.asdict(e)) + "\n")
+                    sink.flush()
+            out = pipe.stream_videos_concurrent(args.videos,
+                                                max_streams=args.max_streams,
+                                                on_event=on_event)
+        finally:
+            if sink is not None:
+                sink.close()
     else:
         out = pipe.stream_videos(args.videos)
 

@@ -207,13 +207,18 @@ class StreamingPipeline:
                 frames=[int(f) for f in p["frames"]],
             )
 
-    def stream_videos_concurrent(self, video_paths: Sequence[str], max_streams: int = 8) -> Dict[str, Any]:
+    def stream_videos_concurrent(self, video_paths: Sequence[str], max_streams: int = 8,
+                                 on_event=None) -> Dict[str, Any]:
         """Multiplex frames from up to `max_streams` same-resolution videos into
         SHARED detector batches — short videos no longer leave the batch
         half-empty, so chip utilization stays high (the TPU analog of the
         reference's one-video-at-a-time loop). Per-video tracker/window state
         is kept separate; events are identical to sequential streaming.
-        Mixed-resolution inputs are processed as one group per resolution."""
+        Mixed-resolution inputs are processed as one group per resolution.
+
+        on_event(ScoreEvent): optional callback fired as each scored window's
+        result is FETCHED (live consumers: JSONL sinks, alerting) — events
+        arrive while later frames are still decoding/scoring."""
         from cvsd_tpu.data.video import video_info
 
         t0 = time.perf_counter()
@@ -229,7 +234,7 @@ class StreamingPipeline:
         n_frames = 0
         n_videos = 0
         for resolution, paths in groups.items():
-            ev, nf, nv = self._stream_group(paths, resolution, max_streams)
+            ev, nf, nv = self._stream_group(paths, resolution, max_streams, on_event)
             events.extend(ev)
             n_frames += nf
             n_videos += nv
@@ -243,7 +248,8 @@ class StreamingPipeline:
         }
 
     def _stream_group(
-        self, paths: Sequence[str], resolution: Tuple[int, int], max_streams: int
+        self, paths: Sequence[str], resolution: Tuple[int, int], max_streams: int,
+        on_event=None,
     ) -> Tuple[List[ScoreEvent], int, int]:
         import cv2
 
@@ -439,12 +445,15 @@ class StreamingPipeline:
         def fetch_oldest_scores() -> None:
             dev, chunk, pv, k = score_inflight.popleft()
             s = self.scorer.fetch_scores(dev)[:k]
-            events.extend(
-                ScoreEvent(video=v, track_id=int(p["track_id"]),
-                           frame_end=int(p["frames"][-1]),
-                           timestamp_ms=float(p["stamp"]), score=float(sc),
-                           frames=[int(f) for f in p["frames"]])
-                for p, v, sc in zip(chunk, pv, s))
+            fresh = [ScoreEvent(video=v, track_id=int(p["track_id"]),
+                                frame_end=int(p["frames"][-1]),
+                                timestamp_ms=float(p["stamp"]), score=float(sc),
+                                frames=[int(f) for f in p["frames"]])
+                     for p, v, sc in zip(chunk, pv, s)]
+            events.extend(fresh)
+            if on_event is not None:
+                for e in fresh:
+                    on_event(e)
 
         def dispatch_scores(flush: bool = False) -> None:
             SB = self.score_batch

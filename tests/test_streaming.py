@@ -207,3 +207,19 @@ def test_streaming_events_join_with_annotations(streaming):
     # single anomalous video with events scores above the eventless normal
     assert res.video_auc == 1.0
     assert res.n_events == len(events)
+
+
+def test_on_event_callback_receives_all_events(streaming, tmp_path_factory):
+    pipe, video = streaming
+    d = tmp_path_factory.mktemp("oe")
+    from cvsd_tpu.data.video import write_test_video
+
+    vids = [video, write_test_video(str(d / "w.mp4"), num_frames=30,
+                                    width=320, height=240, seed=4)]
+    live = []
+    out = pipe.stream_videos_concurrent(vids, max_streams=2,
+                                        on_event=live.append)
+    assert len(live) == len(out["events"]) > 0
+    key = lambda e: (e.video, e.track_id, e.frame_end, round(e.score, 5))  # noqa: E731
+    assert sorted(map(key, live)) == sorted(map(key, out["events"]))
+    assert out["skipped"] == 0 and out["videos"] == 2
