@@ -23,7 +23,7 @@ from cvsd_tpu.data.ucf_crime import TemporalAnnotation
 from cvsd_tpu.data.video import VideoBatcher
 from cvsd_tpu.ops.letterbox import letterbox_params
 from cvsd_tpu.pipeline.preprocess import DetectionPipeline
-from cvsd_tpu.track.tracker import IoUTracker
+from cvsd_tpu.track import make_tracker
 
 
 def extract_pose_data(
@@ -34,7 +34,7 @@ def extract_pose_data(
     in source-pixel coordinates (PoseLift convention)."""
     assert pipeline.model.num_keypoints or pipeline.pose_model is not None, \
         "keypoint source required (detector.pose_head=true or pose_mode='topdown')"
-    tracker = IoUTracker()
+    tracker = make_tracker(pipeline.config.get("detector"))
     out: Dict[int, Dict[int, list]] = {}
     batcher = VideoBatcher(video_path, batch_size=pipeline.batch_size)
     src_h, src_w = batcher.info.height, batcher.info.width

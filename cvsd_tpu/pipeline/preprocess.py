@@ -35,7 +35,7 @@ from cvsd_tpu.models.detector import PersonDetector, build_detector, make_detect
 from cvsd_tpu.ops.letterbox import letterbox_batch, letterbox_params, unletterbox_boxes
 from cvsd_tpu.parallel.mesh import MeshConfig, batch_sharding, replicate
 from cvsd_tpu.ops.iou import xyxy_to_xywhn
-from cvsd_tpu.track.tracker import IoUTracker
+from cvsd_tpu.track import IoUTracker, make_tracker
 
 
 class DetectionPipeline:
@@ -289,7 +289,7 @@ def process_video(
 ) -> Dict[str, Any]:
     """One video through decode -> batched detect -> track -> CSV append.
     Returns {frames, detections, rows, seconds}."""
-    tracker = tracker or IoUTracker()
+    tracker = tracker or make_tracker(pipeline.config.get("detector"))
     tracker.reset()
     rows: List[BBox] = []
     n_frames = 0
@@ -403,7 +403,9 @@ def process_videos_multiplexed(
                     f"{path}: {h}x{w} differs from group resolution {src_h}x{src_w}; "
                     "group videos by resolution before multiplexing")
             active.append({
-                "cap": cap, "tracker": IoUTracker(), "frame_no": 0,
+                "cap": cap,
+                "tracker": make_tracker(pipeline.config.get("detector")),
+                "frame_no": 0,
                 "rows": rows_by_item[len(items) - len(queue_items) - 1],
                 "clip": it[1], "label": it[2], "name": it[3], "anom": it[5],
             })
@@ -526,7 +528,8 @@ def process_videos_multiplexed(
                 if st is None:
                     it = items[si]
                     st = nstates[si] = {
-                        "tracker": IoUTracker(), "rows": rows_by_item[si],
+                        "tracker": make_tracker(pipeline.config.get("detector")),
+                        "rows": rows_by_item[si],
                         "clip": it[1], "label": it[2], "name": it[3],
                         "anom": it[5],
                     }
@@ -703,7 +706,7 @@ def preprocess_ucf_crime(
         stats["fps"] = stats["frames"] / stats["seconds"] if stats["seconds"] else 0.0
         return stats
 
-    tracker = IoUTracker()
+    tracker = make_tracker(pipeline.config.get("detector"))
     for entry, video_path in present:
         csv_path, is_anomaly = route_csv(entry.label, output_dir)
         if verbose:

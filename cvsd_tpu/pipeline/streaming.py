@@ -26,7 +26,7 @@ from cvsd_tpu.data.video import VideoBatcher
 from cvsd_tpu.eval.evaluate import ShopformerScorer
 from cvsd_tpu.ops.letterbox import letterbox_params
 from cvsd_tpu.pipeline.preprocess import DetectionPipeline
-from cvsd_tpu.track.tracker import IoUTracker
+from cvsd_tpu.track import make_tracker
 
 
 @dataclass
@@ -143,7 +143,7 @@ class StreamingPipeline:
         (dets: list of {'track_id', 'box' (4,) xyxy, 'score', 'kpts' (17,2)
         or None}); used by the annotation writer (viz/annotate.py)."""
         name = video_name or video_path.rsplit("/", 1)[-1]
-        tracker = IoUTracker()
+        tracker = make_tracker(self.config.get("detector"))
         windows: Dict[int, _TrackWindow] = {}
         pending: List[Dict[str, Any]] = []
 
@@ -302,7 +302,9 @@ class StreamingPipeline:
                 w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
                 scale, pad_x, pad_y, _, _ = letterbox_params(h, w, size)
                 active[path] = {
-                    "cap": cap, "tracker": IoUTracker(), "windows": {},
+                    "cap": cap,
+                    "tracker": make_tracker(self.config.get("detector")),
+                    "windows": {},
                     "frame_no": 0, "scale": scale, "pad": (pad_x, pad_y),
                     "name": path.rsplit("/", 1)[-1],
                 }
@@ -396,7 +398,8 @@ class StreamingPipeline:
                     if st is None:
                         n_opened += 1
                         st = nstates[si] = {
-                            "tracker": IoUTracker(), "windows": {},
+                            "tracker": make_tracker(self.config.get("detector")),
+                            "windows": {},
                             "scale": lb_scale, "pad": (lb_px, lb_py),
                             "name": dec.paths[si].rsplit("/", 1)[-1],
                         }
