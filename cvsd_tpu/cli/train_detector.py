@@ -48,6 +48,10 @@ def main(argv=None) -> None:
                    help="steps fused into one device dispatch")
     p.add_argument("--eval-frac", type=float, default=0.1,
                    help="held-out fraction for AP eval (0 = skip)")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="steps between held-out evals; keeps the best-mAP "
+                        "checkpoint at <save-checkpoint>.best.msgpack "
+                        "(ultralytics best.pt/last.pt pattern)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save-checkpoint", type=str, default="detector.msgpack")
     p.add_argument("--output", type=str, default=None, help="summary JSON")
@@ -130,9 +134,31 @@ def main(argv=None) -> None:
                 kpts[j] = kp
         return imgs, boxes, valid, kpts
 
+    # held-out arrays built once (also reused by periodic eval)
+    ev_imgs = ev_b = ev_v = ev_k = None
+    if n_eval:
+        S, P, K = model.img_size, args.max_persons, max(kpts, 1)
+        ev_imgs = np.zeros((n_eval, S, S, 3), np.float32)
+        ev_b = np.zeros((n_eval, P, 4), np.float32)
+        ev_v = np.zeros((n_eval, P), bool)
+        ev_k = np.zeros((n_eval, P, K, 2), np.float32)
+        for j, i in enumerate(eval_idx):
+            ev_imgs[j], ev_b[j], ev_v[j], kp = ds.load(int(i))
+            if kpts:
+                ev_k[j] = kp
+    detect = make_detect_fn(model, conf_thresh=0.25, iou_thresh=0.45,
+                            max_detections=args.max_persons)
+
+    def run_eval():
+        eval_vars = trainer.ema_variables if args.ema else trainer.variables
+        return evaluate_detector(detect, eval_vars, ev_imgs, ev_b, ev_v,
+                                 ev_k if kpts else None, coco_map=True)
+
     t0 = time.time()
     losses: list = []
     done = 0
+    best_map = -1.0
+    next_eval = args.eval_every or None
     while done < args.steps:
         n = min(args.scan_chunk, args.steps - done)
         batches = [sample_batch() for _ in range(n)]
@@ -140,11 +166,24 @@ def main(argv=None) -> None:
             np.stack([b[0] for b in batches]),
             np.stack([b[1] for b in batches]),
             np.stack([b[2] for b in batches]),
-            np.stack([b[3] for b in batches]) if args.kpts else None)
+            np.stack([b[3] for b in batches]) if kpts else None)
         losses.extend(np.asarray(out["losses"]).tolist())
         done += n
         print(f"step {done}/{args.steps} loss {np.mean(out['losses']):.4f} "
               f"({time.time()-t0:.0f}s)", flush=True)
+        if next_eval is not None and done >= next_eval and n_eval:
+            res = run_eval()
+            m = float(res.get("map50_95") or res["ap"])
+            print(f"  eval@{done}: AP@50 {res['ap']:.4f} "
+                  f"mAP50-95 {res.get('map50_95', 0):.4f}", flush=True)
+            if m > best_map:
+                best_map = m
+                trainer.save(args.save_checkpoint + ".best.msgpack",
+                             use_ema=bool(args.ema), step=done,
+                             map50_95=m, ap50=float(res["ap"]))
+                print(f"  new best ({m:.4f}) -> "
+                      f"{args.save_checkpoint}.best.msgpack", flush=True)
+            next_eval = done + args.eval_every
 
     summary = {
         "images": len(ds), "steps": args.steps,
@@ -153,24 +192,10 @@ def main(argv=None) -> None:
         "seconds": round(time.time() - t0, 1),
     }
     if n_eval:
-        S, P, K = model.img_size, args.max_persons, max(args.kpts, 1)
-        ev_imgs = np.zeros((n_eval, S, S, 3), np.float32)
-        ev_b = np.zeros((n_eval, P, 4), np.float32)
-        ev_v = np.zeros((n_eval, P), bool)
-        ev_k = np.zeros((n_eval, P, K, 2), np.float32)
-        for j, i in enumerate(eval_idx):
-            ev_imgs[j], ev_b[j], ev_v[j], kp = ds.load(int(i))
-            if args.kpts:
-                ev_k[j] = kp
-        detect = make_detect_fn(model, conf_thresh=0.25, iou_thresh=0.45,
-                                max_detections=args.max_persons)
-        # evaluate the SAME weights that get saved (EMA when enabled)
-        eval_vars = trainer.ema_variables if args.ema else trainer.variables
-        res = evaluate_detector(detect, eval_vars, ev_imgs, ev_b, ev_v,
-                                ev_k if args.kpts else None, coco_map=True)
+        res = run_eval()
         summary.update(ap50=res["ap"], map50_95=res.get("map50_95"),
                        pose_map50_95=res.get("pose_map50_95"),
-                       eval_images=n_eval)
+                       eval_images=n_eval, best_map50_95=best_map if best_map >= 0 else None)
         print(f"eval: AP@50 {res['ap']:.4f} mAP50-95 {res.get('map50_95', 0):.4f}")
     trainer.save(args.save_checkpoint, use_ema=bool(args.ema))
     print(f"saved checkpoint -> {args.save_checkpoint}")
