@@ -35,12 +35,14 @@ def main(argv=None) -> None:
                    choices=["max", "mean", "percentile_95"])
     p.add_argument("--output", type=str, default=None)
     p.add_argument("--events_jsonl", type=str, default=None,
-                   help="append each scored window as a JSON line AS IT IS "
-                        "SCORED (live sink; --concurrent only)")
+                   help="write each scored window as a JSON line AS IT IS "
+                        "SCORED (live sink; requires --concurrent)")
     p.add_argument("--no_mesh", action="store_true",
                    help="single-device even when multiple chips are visible "
                         "(default: shard frame batches over the data mesh axis)")
     args = p.parse_args(argv)
+    if args.events_jsonl and not args.concurrent:
+        p.error("--events_jsonl requires --concurrent")
 
     from cvsd_tpu.eval.evaluate import load_model
     from cvsd_tpu.pipeline.streaming import StreamingPipeline

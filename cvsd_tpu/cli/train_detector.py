@@ -159,6 +159,7 @@ def main(argv=None) -> None:
     done = 0
     best_map = -1.0
     next_eval = args.eval_every or None
+    last_eval = None  # (step, result) — avoids re-running the final eval
     while done < args.steps:
         n = min(args.scan_chunk, args.steps - done)
         batches = [sample_batch() for _ in range(n)]
@@ -173,7 +174,9 @@ def main(argv=None) -> None:
               f"({time.time()-t0:.0f}s)", flush=True)
         if next_eval is not None and done >= next_eval and n_eval:
             res = run_eval()
-            m = float(res.get("map50_95") or res["ap"])
+            last_eval = (done, res)
+            m = float(res["map50_95"] if res.get("map50_95") is not None
+                      else res["ap"])
             print(f"  eval@{done}: AP@50 {res['ap']:.4f} "
                   f"mAP50-95 {res.get('map50_95', 0):.4f}", flush=True)
             if m > best_map:
@@ -192,7 +195,8 @@ def main(argv=None) -> None:
         "seconds": round(time.time() - t0, 1),
     }
     if n_eval:
-        res = run_eval()
+        res = (last_eval[1] if last_eval is not None and last_eval[0] == done
+               else run_eval())
         summary.update(ap50=res["ap"], map50_95=res.get("map50_95"),
                        pose_map50_95=res.get("pose_map50_95"),
                        eval_images=n_eval, best_map50_95=best_map if best_map >= 0 else None)

@@ -53,6 +53,12 @@ class DetectionPipeline:
             jax.random.PRNGKey(seed)
         )
         self.conf = float(d.get("conf_threshold", 0.25))
+        if str(d.get("tracker", "iou")) == "byte":
+            # ByteTrack's stage-2 rescue needs the LOW-confidence boxes the
+            # NMS prefilter would normally drop; the tracker gates them
+            # itself (low detections never spawn tracks or emit rows)
+            low = float(d.get("tracker_low_thresh", 0.1))
+            self.conf = min(self.conf, low)
         self.iou = float(d.get("iou_threshold", 0.45))
         self.max_det = int(d.get("max_detections", 128))
         self.batch_size = int(d.get("batch_size", 32))
@@ -563,40 +569,11 @@ def process_videos_multiplexed(
     # shape as StreamingPipeline._stream_group (single producer => batch order
     # preserved => rows deterministic)
     stage = {"read": 0.0, "dispatch": 0.0, "fetch": 0.0, "track": 0.0}
-    use_thread = bool(pipeline.config.get("detector", {}).get("decode_thread", True))
-    if use_thread:
-        import queue as _queue
-        import threading
+    from cvsd_tpu.pipeline._decode_ahead import make_next_batch
 
-        q: "_queue.Queue" = _queue.Queue(maxsize=max(2, depth))
-
-        def _producer() -> None:
-            try:
-                while True:
-                    t1 = time.perf_counter()
-                    frames, meta, k = read_batch()
-                    stage["read"] += time.perf_counter() - t1
-                    if not k:
-                        q.put(None)
-                        return
-                    q.put((frames, meta, k))
-            except BaseException as e:  # noqa: BLE001 — surfaced in consumer
-                # a dead producer without a sentinel would hang the loop
-                q.put(e)
-
-        threading.Thread(target=_producer, daemon=True).start()
-
-        def next_batch():
-            item = q.get()
-            if isinstance(item, BaseException):
-                raise item
-            return item if item is not None else (None, None, 0)
-    else:
-        def next_batch():
-            t1 = time.perf_counter()
-            frames, meta, k = read_batch()
-            stage["read"] += time.perf_counter() - t1
-            return (frames, meta, k) if k else (None, None, 0)
+    next_batch = make_next_batch(
+        read_batch, stage, depth,
+        bool(pipeline.config.get("detector", {}).get("decode_thread", True)))
 
     inflight: deque = deque()
     eof = False

@@ -479,40 +479,11 @@ class StreamingPipeline:
         # releases the GIL, so producing batches in a worker thread overlaps
         # the C decode with GIL-bound tracking/windowing even on 1 host core;
         # batch order is preserved (single producer), so events are identical
-        if bool(self.config.get("detector", {}).get("decode_thread", True)):
-            import queue as _queue
-            import threading
+        from cvsd_tpu.pipeline._decode_ahead import make_next_batch
 
-            q: _queue.Queue = _queue.Queue(maxsize=max(2, self.stream_depth))
-
-            def _producer() -> None:
-                try:
-                    while True:
-                        t0 = time.perf_counter()
-                        frames, meta, k = read_batch()
-                        stage["read"] += time.perf_counter() - t0
-                        if not k:
-                            q.put(None)
-                            return
-                        q.put((frames, meta, k))
-                except BaseException as e:  # noqa: BLE001 — surfaced in consumer
-                    # a dead producer without a sentinel would hang the main
-                    # loop forever; hand the exception across instead
-                    q.put(e)
-
-            threading.Thread(target=_producer, daemon=True).start()
-
-            def next_batch():
-                item = q.get()
-                if isinstance(item, BaseException):
-                    raise item
-                return item if item is not None else (None, None, 0)
-        else:
-            def next_batch():
-                t0 = time.perf_counter()
-                frames, meta, k = read_batch()
-                stage["read"] += time.perf_counter() - t0
-                return (frames, meta, k) if k else (None, None, 0)
+        next_batch = make_next_batch(
+            read_batch, stage, self.stream_depth,
+            bool(self.config.get("detector", {}).get("decode_thread", True)))
 
         eof = False
         # grouped fetch (detector.fetch_group): each device_get costs a full

@@ -69,21 +69,39 @@ class ScoringServer:
             raise ValueError("server started without a detector checkpoint")
         import cv2
 
+        from cvsd_tpu.ops.letterbox import PAD_VALUE, letterbox_params
+
         img = cv2.imdecode(np.frombuffer(image_bytes, np.uint8), cv2.IMREAD_COLOR)
         if img is None:
             raise ValueError("undecodable image payload")
-        frame = img[..., ::-1][None]  # (1, H, W, 3) RGB
+        # host-letterbox every image onto ONE fixed canvas: arbitrary client
+        # resolutions would otherwise each compile a fresh per-shape program
+        # (static-shape convention; ~20 s per new size on a remote chip)
+        h, w = img.shape[:2]
+        size = self.detection.model.img_size
+        scale, px, py, nw, nh = letterbox_params(h, w, size)
+        canvas = np.full((1, size, size, 3), PAD_VALUE, np.uint8)
+        canvas[0, py:py + nh, px:px + nw] = cv2.resize(
+            img, (nw, nh), interpolation=cv2.INTER_LINEAR)[..., ::-1]
         with self._lock:
-            outs = self.detection.detect_frames(np.ascontiguousarray(frame))
+            outs = self.detection.detect_frames(canvas)
         boxes, _xywhn, scores, valid = outs[:4]
         keep = valid[0]
+        # unmap canvas coords -> source pixels on host
+        b = np.asarray(boxes[0][keep], np.float64)
+        b[:, [0, 2]] = (b[:, [0, 2]] - px) / scale
+        b[:, [1, 3]] = (b[:, [1, 3]] - py) / scale
+        b[:, [0, 2]] = b[:, [0, 2]].clip(0, w)
+        b[:, [1, 3]] = b[:, [1, 3]].clip(0, h)
         out: Dict[str, Any] = {
-            "boxes": np.asarray(boxes[0][keep], np.float64).round(2).tolist(),
+            "boxes": b.round(2).tolist(),
             "scores": np.asarray(scores[0][keep], np.float64).round(4).tolist(),
         }
         if len(outs) > 4:
-            out["keypoints"] = np.asarray(outs[4][0][keep, :, :2],
-                                          np.float64).round(2).tolist()
+            k = np.asarray(outs[4][0][keep, :, :2], np.float64)
+            k[..., 0] = (k[..., 0] - px) / scale
+            k[..., 1] = (k[..., 1] - py) / scale
+            out["keypoints"] = k.round(2).tolist()
         return out
 
     # -- http plumbing --------------------------------------------------------
@@ -117,8 +135,11 @@ class ScoringServer:
                         self._reply(200, server.detect(body))
                     else:
                         self._reply(404, {"error": f"no route {self.path}"})
-                except Exception as e:  # noqa: BLE001 — surface as 400
+                except (ValueError, KeyError, TypeError) as e:
+                    # validation problems are the client's fault
                     self._reply(400, {"error": str(e)})
+                except Exception as e:  # noqa: BLE001 — genuine server fault
+                    self._reply(500, {"error": str(e)})
 
         return Handler
 
