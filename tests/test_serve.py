@@ -79,6 +79,46 @@ def test_detect_endpoint(server):
         assert len(b) == 4
 
 
+def test_detect_unmaps_to_source_pixels(server):
+    """An oracle detection pipeline shows /detect's canvas->source unmap is
+    exact: a box at known canvas coords comes back at the right source
+    pixels for a non-square image."""
+    import types
+
+    from cvsd_tpu.ops.letterbox import letterbox_params
+
+    size = server.detection.model.img_size
+    h, w = 240, 320
+    scale, px, py, nw, nh = letterbox_params(h, w, size)
+    # canvas-space box corresponding to source box (40, 60, 200, 180)
+    src = np.array([40.0, 60.0, 200.0, 180.0])
+    canvas_box = np.array([src[0] * scale + px, src[1] * scale + py,
+                           src[2] * scale + px, src[3] * scale + py])
+
+    class Oracle:
+        model = server.detection.model
+
+        @staticmethod
+        def detect_frames(frames):
+            assert frames.shape == (1, size, size, 3)
+            return (canvas_box[None, None].astype(np.float32),
+                    np.zeros((1, 1, 4), np.float32),
+                    np.array([[0.9]], np.float32),
+                    np.array([[True]]))
+
+    real = server.detection
+    server.detection = Oracle()
+    try:
+        img = np.random.default_rng(2).integers(0, 255, (h, w, 3), np.uint8)
+        ok, buf = cv2.imencode(".png", img)
+        status, obj = _post(f"http://127.0.0.1:{server.port}/detect",
+                            buf.tobytes(), "image/png")
+        assert status == 200
+        np.testing.assert_allclose(obj["boxes"][0], src, atol=0.05)
+    finally:
+        server.detection = real
+
+
 def test_bad_requests(server):
     status, obj = _post(f"http://127.0.0.1:{server.port}/score",
                         json.dumps({"poses": [[1.0]]}).encode())
