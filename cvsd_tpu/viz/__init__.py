@@ -1,3 +1,4 @@
-from cvsd_tpu.viz.annotate import annotate_video, draw_detections
+from cvsd_tpu.viz.annotate import (annotate_video, annotate_video_detections,
+                                   draw_detections)
 
-__all__ = ["annotate_video", "draw_detections"]
+__all__ = ["annotate_video", "annotate_video_detections", "draw_detections"]

@@ -93,6 +93,75 @@ def draw_detections(
     return frame_bgr
 
 
+def annotate_video_detections(
+    detection,
+    video_path: str,
+    out_path: str,
+    fourcc: str = "mp4v",
+) -> Dict[str, Any]:
+    """Detector-only annotation: boxes + persistent track IDs (+ skeletons
+    when the model has a keypoint source), no anomaly model required —
+    ultralytics `model.track(save=True)` without the scoring stage.
+
+    Returns {'frames', 'detections', 'out_path'}.
+    """
+    if not _HAS_CV2:
+        raise RuntimeError("OpenCV not available")
+    from cvsd_tpu.data.video import VideoBatcher
+    from cvsd_tpu.ops.letterbox import letterbox_params
+    from cvsd_tpu.track import make_tracker
+
+    tracker = make_tracker(detection.config.get("detector"))
+    batcher = VideoBatcher(video_path, batch_size=detection.batch_size)
+    src_h, src_w = batcher.info.height, batcher.info.width
+    size = detection._canvas_size(src_h, src_w)
+    scale, pad_x, pad_y, _, _ = letterbox_params(src_h, src_w, size)
+    per_frame: Dict[int, List[Dict[str, Any]]] = {}
+    n_dets = 0
+    for batch in batcher:
+        outs = detection.detect_frames(batch.frames)
+        boxes_src, _xywhn, scores, valid = outs[:4]
+        kpts = outs[4] if len(outs) > 4 else None
+        for b in range(batch.frames.shape[0]):
+            if not batch.mask[b]:
+                continue
+            v = valid[b]
+            tracked = tracker.update_with_indices(boxes_src[b][v], scores[b][v])
+            dets = []
+            for tid, box, sc, di in tracked:
+                k = None
+                if kpts is not None:
+                    k = kpts[b][v][di][:, :2].copy()
+                    k[:, 0] = (k[:, 0] - pad_x) / scale
+                    k[:, 1] = (k[:, 1] - pad_y) / scale
+                dets.append({"track_id": tid, "box": np.asarray(box, np.float32),
+                             "score": float(sc), "kpts": k})
+            per_frame[int(batch.frame_numbers[b])] = dets
+            n_dets += len(dets)
+
+    cap = cv2.VideoCapture(video_path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*fourcc), fps,
+                             (src_w, src_h))
+    if not writer.isOpened():
+        cap.release()
+        raise RuntimeError(f"cannot open writer for {out_path}")
+    n = 0
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            dets = per_frame.get(n + 1, [])
+            draw_detections(frame, dets, banner=f"f{n + 1}")
+            writer.write(frame)
+            n += 1
+    finally:
+        writer.release()
+        cap.release()
+    return {"frames": n, "detections": n_dets, "out_path": out_path}
+
+
 def annotate_video(
     pipeline,
     video_path: str,

@@ -88,3 +88,35 @@ def test_annotate_video_writes_matching_frames(pipeline, tmp_path):
     for a, b in zip(res["events"], plain):
         assert a["track_id"] == b.track_id and a["frame_end"] == b.frame_end
         np.testing.assert_allclose(a["score"], b.score, rtol=1e-5)
+
+
+def test_annotate_detector_only(tmp_path):
+    """cli.annotate without a Shopformer checkpoint: boxes + track IDs."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from cvsd_tpu.cli.annotate import main
+    from cvsd_tpu.models.detector import PersonDetector
+    from cvsd_tpu.train.detector_train import DetectorTrainer
+
+    model = PersonDetector(img_size=64, width_mult=0.25, depth_mult=0.34,
+                           num_keypoints=0, dtype=np.float32)
+    DetectorTrainer(model, lr=1e-3).save(str(tmp_path / "det.msgpack"),
+                                         use_ema=False)
+    from cvsd_tpu.data.video import write_test_video
+
+    video = write_test_video(str(tmp_path / "v.mp4"), num_frames=12,
+                             width=320, height=240)
+    out_dir = str(tmp_path / "ann")
+    summary = str(tmp_path / "s.json")
+    main(["--detector_checkpoint", str(tmp_path / "det.msgpack"),
+          "--videos", video, "--out-dir", out_dir, "--output", summary,
+          "--set", "detector.conf_threshold=0.0",
+          "--set", "detector.batch_size=4"])
+    s = json.load(open(summary))
+    assert s[video]["frames"] == 12
+    cap = cv2.VideoCapture(s[video]["out_path"])
+    assert cap.isOpened()
+    cap.release()
