@@ -13,6 +13,9 @@ windows both depend on ID stability.
 API-compatible with IoUTracker (update / update_with_indices / reset);
 select via config `detector.tracker: iou|byte` (track/__init__.py::
 make_tracker). Host-side by design, like the rest of the association code.
+Measured host cost (4 persons/frame): ~0.30 ms/frame vs the IoU tracker's
+~0.05 — opt-in because the streaming steady state is host-bound; choose it
+when ID stability through occlusion matters more than ~10-15% throughput.
 """
 
 from __future__ import annotations
