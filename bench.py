@@ -26,6 +26,19 @@ import numpy as np
 BASELINE_FPS = 30.0  # reference per-frame loop at video frame-rate (see docstring)
 
 
+def _relay_reachable(timeout_s: float = 3.0) -> bool:
+    """TCP probe of the axon relay (127.0.0.1:8103) — a dead relay makes the
+    first JAX dispatch hang indefinitely; better to fail fast with a JSON
+    error line the driver can record."""
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", 8103), timeout=timeout_s):
+            return True
+    except OSError:
+        return False
+
+
 def main() -> None:
     import jax
 
@@ -33,6 +46,20 @@ def main() -> None:
         # the environment's sitecustomize may pre-register a TPU backend that
         # env vars alone can't override
         jax.config.update("jax_platforms", "cpu")
+    elif os.environ.get("JAX_PLATFORMS", "axon") != "cpu":
+        # TPU run intended (the environment sets JAX_PLATFORMS=axon): wait up
+        # to BENCH_RELAY_WAIT s (default 10 min) for the relay, then emit an
+        # error line instead of hanging
+        deadline = time.time() + float(os.environ.get("BENCH_RELAY_WAIT", "600"))
+        while not _relay_reachable():
+            if time.time() >= deadline:
+                print(json.dumps({
+                    "metric": "detect_throughput", "value": 0.0,
+                    "unit": "frames/sec/chip", "vs_baseline": 0.0,
+                    "details": {"error": "axon relay (127.0.0.1:8103) unreachable"},
+                }))
+                raise SystemExit(1)
+            time.sleep(15)
 
     import jax.numpy as jnp
 
