@@ -48,17 +48,30 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     elif os.environ.get("JAX_PLATFORMS", "axon") != "cpu":
         # TPU run intended (the environment sets JAX_PLATFORMS=axon): wait up
-        # to BENCH_RELAY_WAIT s (default 10 min) for the relay, then emit an
-        # error line instead of hanging
-        deadline = time.time() + float(os.environ.get("BENCH_RELAY_WAIT", "600"))
+        # to BENCH_RELAY_WAIT s for the relay, then emit an error line instead
+        # of hanging. Default 45 min: the relay's documented recovery window
+        # after a wedge is 20-40 min (CLAUDE.md), so a 10-min wait loses
+        # winnable races (BENCH_r03 was 0.0 for exactly this reason).
+        import sys
+
+        wait_s = float(os.environ.get("BENCH_RELAY_WAIT", "2700"))
+        deadline = time.time() + wait_s
+        t_start = time.time()
+        probes = 0
         while not _relay_reachable():
+            probes += 1
+            waited = time.time() - t_start
             if time.time() >= deadline:
                 print(json.dumps({
                     "metric": "detect_throughput", "value": 0.0,
                     "unit": "frames/sec/chip", "vs_baseline": 0.0,
-                    "details": {"error": "axon relay (127.0.0.1:8103) unreachable"},
+                    "details": {"error": "axon relay (127.0.0.1:8103) unreachable",
+                                "waited_seconds": round(waited, 1)},
                 }))
                 raise SystemExit(1)
+            if probes % 4 == 1:  # periodic progress on stderr; stdout stays 1 JSON line
+                print(f"bench: relay down, waited {waited:.0f}s of {wait_s:.0f}s",
+                      file=sys.stderr, flush=True)
             time.sleep(15)
 
     import jax.numpy as jnp
