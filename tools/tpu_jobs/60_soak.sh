@@ -1,0 +1,3 @@
+# TIMEOUT=3600
+# 30-minute streaming soak artifact.
+python -u examples/soak_streaming.py --minutes 30 --artifact artifacts/soak_streaming.json

@@ -1,0 +1,52 @@
+#!/bin/bash
+# Serialized, relay-probe-gated TPU job queue.
+#
+# Runs every tools/tpu_jobs/NN_name.sh in lexical order, one at a time,
+# gating each on the axon relay being reachable AND passing a tiny-op probe
+# (a wedged relay hangs the first dispatch; see CLAUDE.md). Jobs that exit 0
+# get a .done marker in artifacts/queue_state/ and are skipped on re-runs, so
+# the queue is resumable. Per-job timeout comes from a "# TIMEOUT=<seconds>"
+# header line (default 3600). Job stdout/stderr go to artifacts/logs/<name>.log
+# unbuffered. NEVER run two TPU processes at once: this runner is the only
+# sanctioned way to launch TPU work while it is alive.
+#
+# Usage: nohup bash tools/tpu_queue.sh & (or via the session's background Bash)
+set -u
+cd "$(dirname "$0")/.."
+ART=artifacts
+mkdir -p "$ART/logs" "$ART/queue_state"
+QLOG=$ART/logs/queue.log
+echo "QUEUE start $(date)" >> "$QLOG"
+
+tcp_up() { timeout 3 bash -c 'echo > /dev/tcp/127.0.0.1/8103' 2>/dev/null; }
+probe() {
+  timeout 300 python -u -c "
+import jax, jax.numpy as jnp
+print('probe', float(jnp.ones((8,8)).sum()))
+" > "$ART/logs/probe.log" 2>&1
+}
+wait_relay() {
+  while true; do
+    if tcp_up; then
+      echo "tcp up $(date), probing" >> "$QLOG"
+      if probe; then echo "probe OK $(date)" >> "$QLOG"; return 0; fi
+      echo "probe failed $(date)" >> "$QLOG"
+    fi
+    sleep 240
+  done
+}
+
+for job in tools/tpu_jobs/*.sh; do
+  name=$(basename "$job" .sh)
+  [ -f "$ART/queue_state/$name.done" ] && continue
+  tmo=$(sed -n 's/^# TIMEOUT=//p' "$job" | head -1)
+  tmo=${tmo:-3600}
+  wait_relay
+  echo "== $name start $(date) timeout=$tmo" >> "$QLOG"
+  timeout "$tmo" bash "$job" > "$ART/logs/$name.log" 2>&1
+  rc=$?
+  echo "== $name exit $rc $(date)" >> "$QLOG"
+  [ "$rc" -eq 0 ] && touch "$ART/queue_state/$name.done"
+  sleep 20
+done
+echo "QUEUE COMPLETE $(date)" >> "$QLOG"
