@@ -32,6 +32,10 @@ def main(argv=None) -> None:
     p.add_argument("--ff", type=int, default=64)
     p.add_argument("--d_model", type=int, default=None,
                    help="transformer width when != latent*kpts (adds projections)")
+    p.add_argument("--unsafe", action="store_true",
+                   help="allow full torch unpickling (executes code from the "
+                        "file) when weights_only=True loading fails; only for "
+                        "trusted checkpoints")
     args = p.parse_args(argv)
 
     import jax
@@ -50,7 +54,8 @@ def main(argv=None) -> None:
             latent_channels=args.latent, num_heads=args.heads,
             dim_feedforward=args.ff, d_model=args.d_model)
     model, variables, config = import_shopformer_checkpoint(
-        args.torch_checkpoint, model_cfg=model_cfg, variant=args.variant)
+        args.torch_checkpoint, model_cfg=model_cfg, variant=args.variant,
+        allow_unsafe_load=args.unsafe)
 
     # smoke: one eval-mode scoring pass before persisting
     poses = np.zeros((2, model.seq_len, model.num_keypoints, model.in_channels),

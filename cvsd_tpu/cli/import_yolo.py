@@ -26,6 +26,10 @@ def main(argv=None) -> None:
                    help="add an (untrained) keypoint branch for fine-tuning")
     p.add_argument("--non_strict", action="store_true",
                    help="tolerate missing checkpoint keys")
+    p.add_argument("--unsafe", action="store_true",
+                   help="allow full torch unpickling (executes code from the "
+                        "file) when weights_only=True loading fails; only for "
+                        "trusted checkpoints")
     args = p.parse_args(argv)
 
     import jax
@@ -40,7 +44,7 @@ def main(argv=None) -> None:
         num_keypoints=17 if args.pose_head else 0, head_variant="v8dfl",
         dtype=jnp.bfloat16,
     )
-    sd = load_torch_checkpoint(args.torch_checkpoint)
+    sd = load_torch_checkpoint(args.torch_checkpoint, allow_unsafe_load=args.unsafe)
     variables = import_yolov5u(sd, model=model, strict=not args.non_strict)
     det_cfg = {
         "img_size": model.img_size, "width_mult": model.width_mult,

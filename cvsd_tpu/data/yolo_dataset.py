@@ -26,7 +26,7 @@ try:
 except Exception:  # pragma: no cover
     _HAS_CV2 = False
 
-from cvsd_tpu.ops.letterbox import letterbox_params
+from cvsd_tpu.ops.letterbox import PAD_VALUE, letterbox_params
 
 _IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
 
@@ -138,7 +138,10 @@ class YOLODetectionDataset:
         h, w = img.shape[:2]
         S = self.img_size
         scale, pad_x, pad_y, new_w, new_h = letterbox_params(h, w, S)
-        canvas = np.zeros((S, S, 3), np.uint8)
+        # PAD_VALUE gray, matching every inference letterbox (ops/letterbox,
+        # host_letterbox, serve, quantize calib) — a black canvas here would be
+        # a silent train/serve padding-distribution mismatch
+        canvas = np.full((S, S, 3), PAD_VALUE, np.uint8)
         canvas[pad_y:pad_y + new_h, pad_x:pad_x + new_w] = cv2.resize(
             img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
 

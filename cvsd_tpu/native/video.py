@@ -86,11 +86,17 @@ class MultiStreamDecoder:
         self.paths = [str(p) for p in paths]
         self.out_h, self.out_w = int(out_hw[0]), int(out_hw[1])
         nh, nw = content_hw if content_hw is not None else out_hw
+        if mode == MODE_CONTENT and (int(nh), int(nw)) != (self.out_h, self.out_w):
+            raise ValueError(
+                f"CONTENT mode output buffer is (out_h, out_w)=({self.out_h}, "
+                f"{self.out_w}); content_hw=({nh}, {nw}) must match it")
         arr = (ctypes.c_char_p * len(self.paths))(
             *[p.encode() for p in self.paths])
         self._h = lib.msd_open(arr, len(self.paths), int(max_streams),
                                self.out_w, self.out_h, int(nw), int(nh),
                                int(pad_xy[0]), int(pad_xy[1]), int(mode))
+        if not self._h:
+            raise RuntimeError("msd_open rejected the decoder geometry")
 
     def next_batch(self, batch_size: int):
         """-> (frames (B, out_h, out_w, 3) uint8 RGB, stream_idx (B,) i32,

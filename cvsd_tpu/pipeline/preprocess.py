@@ -55,8 +55,14 @@ class DetectionPipeline:
         self.conf = float(d.get("conf_threshold", 0.25))
         if str(d.get("tracker", "iou")) == "byte":
             # ByteTrack's stage-2 rescue needs the LOW-confidence boxes the
-            # NMS prefilter would normally drop; the tracker gates them
-            # itself (low detections never spawn tracks or emit rows)
+            # NMS prefilter would normally drop. The tracker gates them: low
+            # detections never SPAWN tracks (that needs >= high_thresh, which
+            # make_tracker raises to conf_threshold when the user set a higher
+            # one), but a low box that rescues an existing track IS reported,
+            # so byte mode emits CSV rows / pose windows for occluded people
+            # down to tracker_low_thresh (default 0.1) — that occlusion
+            # survival is the point of ByteTrack. Scores below low_thresh are
+            # always dropped by the tracker even if conf_threshold is lower.
             low = float(d.get("tracker_low_thresh", 0.1))
             self.conf = min(self.conf, low)
         self.iou = float(d.get("iou_threshold", 0.45))

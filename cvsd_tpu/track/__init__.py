@@ -10,7 +10,15 @@ def make_tracker(detector_cfg: Optional[Dict[str, Any]] = None):
     'iou' (default) = Hungarian IoU association (track/tracker.py);
     'byte' = Kalman motion + two-stage ByteTrack association
     (track/bytetrack.py — what the reference's ultralytics model.track
-    default actually runs)."""
+    default actually runs).
+
+    Byte-mode thresholds: tracks spawn / stage-1-associate at >= high_thresh;
+    scores in [low_thresh, high_thresh) can only rescue existing tracks, but
+    a rescued box IS reported, so byte mode emits rows down to low_thresh.
+    Unless tracker_high_thresh is set explicitly, high_thresh is raised to
+    the configured detector.conf_threshold when that exceeds the ByteTrack
+    default (0.5), so a user-raised confidence floor keeps gating which
+    detections may start tracks."""
     d = detector_cfg or {}
     kind = str(d.get("tracker", "iou"))
     kw = {}
@@ -21,6 +29,8 @@ def make_tracker(detector_cfg: Optional[Dict[str, Any]] = None):
         for k in ("high_thresh", "low_thresh"):
             if f"tracker_{k}" in d:
                 kw[k] = d[f"tracker_{k}"]
+        if "high_thresh" not in kw and "conf_threshold" in d:
+            kw["high_thresh"] = max(0.5, float(d["conf_threshold"]))
         return ByteTracker(**kw)
     if kind != "iou":
         raise ValueError(f"unknown detector.tracker '{kind}' (iou|byte)")

@@ -120,8 +120,11 @@ class QATFineTuner:
                    gt_valid: np.ndarray,
                    gt_kpts: Optional[np.ndarray] = None) -> Dict[str, float]:
         if self.model.num_keypoints and gt_kpts is None:
-            gt_kpts = np.zeros((*gt_boxes.shape[:2], self.model.num_keypoints, 2),
-                               np.float32)
+            # fabricating zero targets would fine-tune every keypoint toward
+            # the canvas origin (same bug class fixed for train_detector)
+            raise ValueError(
+                "QAT on a pose-head model requires gt_kpts; got None for a "
+                f"model with num_keypoints={self.model.num_keypoints}")
         batch = self._shard((images, gt_boxes, gt_valid)
                             + (() if gt_kpts is None else (gt_kpts,)))
         p, self.opt_state, loss, aux = self._step(
@@ -139,8 +142,12 @@ class QATFineTuner:
         centers, strides, size = self._centers, self._strides, model.img_size
         pos_w, kpt_w = self.obj_pos_weight, self.kpt_weight
         if gt_kpts is None:
-            gt_kpts = np.zeros((*gt_boxes.shape[:3], max(model.num_keypoints, 1), 2),
-                               np.float32)
+            if model.num_keypoints:
+                raise ValueError(
+                    "QAT on a pose-head model requires gt_kpts; got None for "
+                    f"a model with num_keypoints={model.num_keypoints}")
+            # keypoint-less model: static placeholder, never used by the loss
+            gt_kpts = np.zeros((*gt_boxes.shape[:3], 1, 2), np.float32)
 
         def one(carry, batch):
             params, opt_state = carry

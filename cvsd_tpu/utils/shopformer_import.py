@@ -299,18 +299,30 @@ def import_shopformer_checkpoint(
     path: str,
     model_cfg: Optional[Dict[str, Any]] = None,
     variant: Optional[str] = None,
+    allow_unsafe_load: bool = False,
 ):
     """Load a reference torch checkpoint -> (Shopformer, variables, config).
 
     model_cfg: reference_model_config(...) output; when None, derived from
     the checkpoint's embedded config (v2) or reference defaults (v1 needs
     `variant='v1'` plus any non-default hyperparameters via model_cfg).
+
+    allow_unsafe_load: checkpoints that fail `weights_only=True` need full
+    unpickling, which executes arbitrary code from the file. That retry only
+    happens with this explicit opt-in (cli.import_shopformer: --unsafe);
+    otherwise the safe-load failure is raised.
     """
     import torch
 
     try:
         obj = torch.load(path, map_location="cpu", weights_only=True)
     except Exception:
+        if not allow_unsafe_load:
+            raise ValueError(
+                f"{path}: not loadable with weights_only=True. Full unpickling "
+                "executes code embedded in the file; pass "
+                "allow_unsafe_load=True (--unsafe) only for trusted checkpoints."
+            )
         import warnings
 
         warnings.warn(f"{path}: not loadable with weights_only=True; full "

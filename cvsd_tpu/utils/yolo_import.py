@@ -213,11 +213,16 @@ def synthesize_state_dict(
     return sd
 
 
-def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+def load_torch_checkpoint(path: str, allow_unsafe_load: bool = False) -> Dict[str, Any]:
     """Load a .pt checkpoint into a flat torch state dict. Handles plain
     state dicts, {'model': state_dict}, and objects exposing .state_dict()
     (unpickling a full ultralytics DetectionModel requires the ultralytics
-    package; exporting its .state_dict() first avoids that dependency)."""
+    package; exporting its .state_dict() first avoids that dependency).
+
+    allow_unsafe_load: full unpickling (needed when weights_only=True fails)
+    executes arbitrary code from the file; it only runs with this explicit
+    opt-in (cli.import_yolo: --unsafe), otherwise the safe failure is raised.
+    """
     import torch
 
     try:
@@ -225,6 +230,11 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
         # safe default for third-party downloads (plain state dicts load fine)
         obj = torch.load(path, map_location="cpu", weights_only=True)
     except Exception:
+        if not allow_unsafe_load:
+            raise ValueError(
+                f"{path}: not loadable with weights_only=True. Full unpickling "
+                "executes code embedded in the file; pass allow_unsafe_load="
+                "True (--unsafe) only for checkpoints you trust.")
         import warnings
 
         warnings.warn(

@@ -70,6 +70,12 @@ extern "C" {
 
 void* msd_open(const char** paths, int n_paths, int max_streams, int out_w,
                int out_h, int nw, int nh, int px, int py, int mode) {
+  if (mode == 1 && (nw != out_w || nh != out_h)) {
+    // CONTENT mode writes cvtColor output into a Mat wrapping the caller's
+    // (out_h, out_w) buffer; a mismatched (nh, nw) would make Mat::create
+    // silently reallocate and leave the caller's buffer uninitialized.
+    return nullptr;
+  }
   auto* d = new MSDecoder();
   d->paths.reserve(n_paths);
   for (int i = 0; i < n_paths; ++i) d->paths.emplace_back(paths[i]);

@@ -337,3 +337,19 @@ def test_imported_checkpoint_finetunes_via_cli(tmp_path):
     cfg = json.load(open(os.path.join(out, "config.json")))
     assert cfg["model"]["num_keypoints"] == 17
     assert cfg["model"]["token_order"] == "cv"
+
+
+def test_unsafe_checkpoint_requires_opt_in(tmp_path):
+    """A checkpoint that fails weights_only=True loading must raise unless
+    allow_unsafe_load=True is passed explicitly (ADVICE r3)."""
+    import torch
+
+    from cvsd_tpu.utils.shopformer_import import import_shopformer_checkpoint
+
+    import os
+
+    p = str(tmp_path / "sketchy.pt")
+    # a function reference pickles fine but is rejected by weights_only=True
+    torch.save({"state_dict": {}, "payload": os.getcwd}, p)
+    with pytest.raises(ValueError, match="weights_only"):
+        import_shopformer_checkpoint(p)

@@ -170,3 +170,17 @@ def test_train_detector_cli_end_to_end(tmp_path):
 
     model, variables, _ = load_detector_checkpoint(ckpt)
     assert model.img_size == 64
+
+
+def test_letterbox_padding_is_gray_114(tmp_path):
+    """Training canvases must pad with PAD_VALUE (114) like every inference
+    letterbox — black padding would be a train/serve distribution mismatch
+    (ADVICE r3)."""
+    from cvsd_tpu.ops.letterbox import PAD_VALUE
+
+    img_dir, _ = _make_dataset(str(tmp_path), n=2, w=96, h=64)
+    ds = YOLODetectionDataset(img_dir, img_size=96, max_persons=2)
+    img, _, _, _ = ds.load(0)
+    # 96x64 source on a 96x96 canvas: top/bottom bands are pure padding
+    pad = np.concatenate([img[:8], img[-8:]])
+    np.testing.assert_allclose(pad, PAD_VALUE / 255.0, atol=1e-6)
