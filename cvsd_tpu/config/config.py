@@ -146,6 +146,12 @@ def get_default_config() -> Config:
                 "tta_flip": False,  # horizontal-flip TTA (2x fwd, ~sqrt(2) less kpt noise)
                 "pose_mode": "head",  # head | topdown (crop-based pose net)
                 "stream_depth": 3,  # in-flight detection batches in streaming
+                # streaming: detect every Nth source frame (skipped frames are
+                # cheaply cap.grab()'d, never resized/uploaded); the tracker
+                # bridges the gaps and pose windows sample at this stride.
+                # Beats the 1-core host decode floor (PROFILE.md) at a small,
+                # measured AUC cost (RESULTS.md frame-stride table).
+                "frame_stride": 1,
                 "pose_topdown": {"num_keypoints": 17, "width": 32, "crop_size": 64},
                 "pose_topdown_checkpoint": None,
             },

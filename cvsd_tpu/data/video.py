@@ -71,13 +71,16 @@ class VideoBatcher:
 
     def __init__(self, path: str, batch_size: int = 32, prefetch: int = 2,
                  bgr_to_rgb: bool = True, use_native_ring: Optional[bool] = None,
-                 use_native_decode: Optional[bool] = None):
+                 use_native_decode: Optional[bool] = None, frame_stride: int = 1):
         if not _HAS_CV2:
             raise RuntimeError("OpenCV not available")
         self.path = path
         self.batch_size = int(batch_size)
         self.prefetch = int(prefetch)
         self.bgr_to_rgb = bgr_to_rgb
+        # frame_stride=N yields source frames 1, 1+N, 2N+1, ...; skipped
+        # frames are cap.grab()'d (codec advances, no convert/copy)
+        self.frame_stride = max(1, int(frame_stride))
         self.info = video_info(path)
         # native batched decode (native/video_decode.cpp): the producer fills
         # a whole batch with one GIL-releasing C++ call instead of the
@@ -124,7 +127,8 @@ class VideoBatcher:
         from cvsd_tpu.native.video import MODE_RAW, MultiStreamDecoder
 
         H, W = self.info.height, self.info.width
-        return MultiStreamDecoder([self.path], 1, (H, W), MODE_RAW)
+        return MultiStreamDecoder([self.path], 1, (H, W), MODE_RAW,
+                                  frame_stride=self.frame_stride)
 
     def _iter_native(self) -> Iterator[FrameBatch]:
         from cvsd_tpu import native
@@ -182,10 +186,17 @@ class VideoBatcher:
                     stamps = np.zeros(B, np.float64)
                     k = 0
                     while k < B:
-                        ok, frame = cap.read()
+                        ok = True
+                        if frame_no > 0:  # frame_stride: advance via grab()
+                            for _ in range(self.frame_stride - 1):
+                                if not cap.grab():
+                                    ok = False
+                                    break
+                        if ok:
+                            ok, frame = cap.read()
                         if not ok:
                             break
-                        frame_no += 1
+                        frame_no = 1 if frame_no == 0 else frame_no + self.frame_stride
                         if frame.shape[:2] != (H, W):
                             frame = cv2.resize(frame, (W, H))
                         frames[k] = frame[..., ::-1] if self.bgr_to_rgb else frame
@@ -263,10 +274,17 @@ class VideoBatcher:
             k = 0
             frame_no = 0
             while True:
-                ok, frame = cap.read()
+                ok = True
+                if frame_no > 0:  # frame_stride: advance via grab()
+                    for _ in range(self.frame_stride - 1):
+                        if not cap.grab():
+                            ok = False
+                            break
+                if ok:
+                    ok, frame = cap.read()
                 if not ok:
                     break
-                frame_no += 1
+                frame_no = 1 if frame_no == 0 else frame_no + self.frame_stride
                 if frame.shape[:2] != (H, W):  # defensive: some codecs lie
                     frame = cv2.resize(frame, (W, H))
                 frames[k] = frame[..., ::-1] if self.bgr_to_rgb else frame

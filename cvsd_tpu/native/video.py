@@ -48,7 +48,7 @@ def load_video_lib() -> Optional[ctypes.CDLL]:
         lib.msd_open.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.msd_next.restype = ctypes.c_int
         lib.msd_next.argtypes = [
@@ -78,7 +78,7 @@ class MultiStreamDecoder:
     def __init__(self, paths: Sequence[str], max_streams: int,
                  out_hw: Tuple[int, int], mode: int = MODE_RAW,
                  content_hw: Optional[Tuple[int, int]] = None,
-                 pad_xy: Tuple[int, int] = (0, 0)):
+                 pad_xy: Tuple[int, int] = (0, 0), frame_stride: int = 1):
         lib = load_video_lib()
         if lib is None:
             raise RuntimeError("native video decoder unavailable")
@@ -94,9 +94,10 @@ class MultiStreamDecoder:
             *[p.encode() for p in self.paths])
         self._h = lib.msd_open(arr, len(self.paths), int(max_streams),
                                self.out_w, self.out_h, int(nw), int(nh),
-                               int(pad_xy[0]), int(pad_xy[1]), int(mode))
+                               int(pad_xy[0]), int(pad_xy[1]), int(mode),
+                               int(frame_stride))
         if not self._h:
-            raise RuntimeError("msd_open rejected the decoder geometry")
+            raise RuntimeError("msd_open rejected the decoder geometry/stride")
 
     def next_batch(self, batch_size: int):
         """-> (frames (B, out_h, out_w, 3) uint8 RGB, stream_idx (B,) i32,

@@ -118,6 +118,15 @@ class StreamingPipeline:
         # detection batches kept in flight before the oldest is fetched
         # (amortizes the per-batch relay round-trip; 1 = classic double-buffer)
         self.stream_depth = max(1, int(cfg["detector"].get("stream_depth", 3)))
+        # frame_stride=N: detect every Nth source frame (1, 1+N, ...).
+        # Skipped frames are only cap.grab()'d — the codec still advances,
+        # but resize/color-convert/upload/detect/track all drop by ~N, the
+        # lever against the 1-core host decode floor (PROFILE.md). The
+        # tracker's Kalman motion bridges the N-frame jumps (its velocity
+        # state just lives in detected-frame time units) and pose windows
+        # sample at the stride; window gap tolerance scales by N so
+        # continuity semantics match the stride-1 training distribution.
+        self.frame_stride = max(1, int(cfg["detector"].get("frame_stride", 1)))
         # scoring gets its own in-flight queue: each Shopformer dispatch is
         # fire-and-forget up to this depth, so the score round-trip rides the
         # same pipelining as detection instead of blocking the stream loop
@@ -147,7 +156,8 @@ class StreamingPipeline:
         windows: Dict[int, _TrackWindow] = {}
         pending: List[Dict[str, Any]] = []
 
-        batcher = VideoBatcher(video_path, batch_size=self.detection.batch_size)
+        batcher = VideoBatcher(video_path, batch_size=self.detection.batch_size,
+                               frame_stride=self.frame_stride)
         src_h, src_w = batcher.info.height, batcher.info.width
         size = self.detection._canvas_size(src_h, src_w)
         scale, pad_x, pad_y, _, _ = letterbox_params(src_h, src_w, size)
@@ -181,7 +191,8 @@ class StreamingPipeline:
                                            "box": np.asarray(_box, np.float32),
                                            "score": float(_score), "kpts": k})
                     tw = windows.setdefault(
-                        track_id, _TrackWindow(self.seq_len, self.stride, self.max_gap))
+                        track_id, _TrackWindow(self.seq_len, self.stride,
+                                               self.max_gap * self.frame_stride))
                     done = tw.push(k, frame_no, stamp)
                     if done is not None:
                         pending.append({"track_id": track_id, **done})
@@ -346,7 +357,16 @@ class StreamingPipeline:
                     i = 0
                     continue
                 st = active[path]
-                ok, frame = st["cap"].read()
+                cap = st["cap"]
+                ok = True
+                if st["frame_no"] > 0:  # frame_stride: advance N-1 via grab()
+                    for _ in range(self.frame_stride - 1):
+                        if not cap.grab():
+                            ok = False
+                            break
+                frame = None
+                if ok:
+                    ok, frame = cap.read()
                 if not ok:
                     st["cap"].release()
                     del active[path]
@@ -354,7 +374,7 @@ class StreamingPipeline:
                     if open_next():
                         order = list(active.keys())
                     continue
-                st["frame_no"] += 1
+                st["frame_no"] = 1 if st["frame_no"] == 0 else st["frame_no"] + self.frame_stride
                 if host_lb:
                     r = cv2.resize(frame, (lb_nw, lb_nh), interpolation=cv2.INTER_LINEAR)
                     if lb_content:
@@ -379,13 +399,16 @@ class StreamingPipeline:
             h0, w0 = resolution
             if host_lb and lb_content:
                 dec = MultiStreamDecoder(queue, max_streams, (lb_nh, lb_nw),
-                                         MODE_CONTENT, (lb_nh, lb_nw))
+                                         MODE_CONTENT, (lb_nh, lb_nw),
+                                         frame_stride=self.frame_stride)
             elif host_lb:
                 dec = MultiStreamDecoder(queue, max_streams, (size, size),
                                          MODE_CANVAS, (lb_nh, lb_nw),
-                                         (lb_px, lb_py))
+                                         (lb_px, lb_py),
+                                         frame_stride=self.frame_stride)
             else:
-                dec = MultiStreamDecoder(queue, max_streams, (h0, w0), MODE_RAW)
+                dec = MultiStreamDecoder(queue, max_streams, (h0, w0), MODE_RAW,
+                                         frame_stride=self.frame_stride)
             nstates: Dict[int, Dict[str, Any]] = {}
 
             def read_batch_native():
@@ -425,7 +448,8 @@ class StreamingPipeline:
                     kp[:, 0] = (kp[:, 0] - pad_x) / st["scale"]
                     kp[:, 1] = (kp[:, 1] - pad_y) / st["scale"]
                     tw = st["windows"].setdefault(
-                        track_id, _TrackWindow(self.seq_len, self.stride, self.max_gap))
+                        track_id, _TrackWindow(self.seq_len, self.stride,
+                                               self.max_gap * self.frame_stride))
                     done = tw.push(kp, frame_no, stamp)
                     if done is not None:
                         pending.append({"track_id": track_id, **done})

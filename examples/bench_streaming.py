@@ -41,6 +41,8 @@ def main() -> None:
     ap.add_argument("--score-batch", type=int, default=32)
     ap.add_argument("--native-decode", choices=["auto", "on", "off"],
                     default="auto", help="C++ batched decoder (native/video_decode.cpp)")
+    ap.add_argument("--frame-stride", type=int, default=1,
+                    help="detect every Nth source frame (tracker bridges gaps)")
     ap.add_argument("--out", default="/tmp/bench_streaming")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -73,7 +75,8 @@ def main() -> None:
                            batch_size=args.batch, conf_threshold=0.3, max_detections=4,
                            dtype="float32", pose_head=True, tta_flip=args.tta,
                            stream_depth=args.stream_depth,
-                           host_letterbox=args.host_letterbox)
+                           host_letterbox=args.host_letterbox,
+                           frame_stride=args.frame_stride)
     if args.native_decode != "auto":
         cfg["detector"]["native_decode"] = args.native_decode == "on"
     cfg["data"]["batch_size"] = args.score_batch

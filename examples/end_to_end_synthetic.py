@@ -33,6 +33,10 @@ def main() -> None:
                    help="normal videos for Shopformer training — window AUC is "
                         "data-limited below ~64 (RESULTS.md progression)")
     p.add_argument("--epochs", type=int, default=100, help="shopformer epochs/stage")
+    p.add_argument("--frame-strides", default="1",
+                   help="comma list; streams the test videos once per stride "
+                        "and reports videos/hour + AUC for each (the "
+                        "throughput/accuracy trade of detector.frame_stride)")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -175,6 +179,35 @@ def main() -> None:
                              pose_model=pose_model, pose_variables=pose_trainer.variables)
     out = pipe.stream_videos_concurrent(test_videos, max_streams=8)
     agg = pipe.aggregate_events(out["events"])
+
+    # frame-stride A/B: detect every Nth frame, tracker bridges the gaps —
+    # videos/hour vs video-AUC trade (VERDICT r3 #4); warm pass first so each
+    # stride's number is steady-state, not compile-polluted
+    from cvsd_tpu.eval.streaming_eval import evaluate_streaming as _eval_stream
+
+    stride_table = {}
+    strides = [int(s) for s in str(args.frame_strides).split(",") if s.strip()]
+    for s in strides:
+        scfg = {**cfg, "detector": {**cfg["detector"], "frame_stride": s}}
+        sp = StreamingPipeline(scfg, scorer,
+                               detector_variables=det_trainer.ema_variables,
+                               pose_model=pose_model,
+                               pose_variables=pose_trainer.variables)
+        sp.stream_videos_concurrent(test_videos, max_streams=8)  # warm/compile
+        so = sp.stream_videos_concurrent(test_videos, max_streams=8)
+        sres = _eval_stream(so["events"], list(annotations.values()),
+                            include_eventless_videos=test_videos)
+        stride_table[s] = {
+            "videos_per_hour": so["videos_per_hour"], "fps": so["fps"],
+            "video_auc": sres.video_auc, "video_auc_ci": list(sres.video_auc_ci),
+            "event_auc": sres.event_auc, "n_events": sres.n_events,
+            "stage_seconds": so["stage_seconds"],
+        }
+        print(f"  frame_stride={s}: {so['videos_per_hour']:.0f} videos/h "
+              f"({so['fps']:.1f} fps) video AUC {sres.video_auc:.4f} "
+              f"[{sres.video_auc_ci[0]:.3f},{sres.video_auc_ci[1]:.3f}] "
+              f"event AUC {sres.event_auc:.4f} ({sres.n_events} windows)",
+              flush=True)
     result = {}
     for path in test_videos:
         name = os.path.basename(path)
@@ -200,7 +233,8 @@ def main() -> None:
                    "extracted_pose_auc": artifact["test_metrics"]["auc_roc"],
                    "video_metrics": {k: v["auc_roc"] for k, v in
                                      (artifact["video_metrics"] or {}).items()},
-                   "streaming": streaming}, f, indent=2)
+                   "streaming": streaming,
+                   "frame_stride": stride_table}, f, indent=2)
 
 
 if __name__ == "__main__":

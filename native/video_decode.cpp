@@ -47,6 +47,9 @@ struct MSDecoder {
   int nw = 0, nh = 0;        // resized content dims (modes 1/2)
   int px = 0, py = 0;        // content offset inside the canvas (mode 2)
   int mode = 0;
+  int stride = 1;  // return every Nth source frame (1, 1+N, ...); skipped
+  //                 frames are grab()'d (decoded to advance inter-frame
+  //                 codecs, but no color-convert/copy)
   std::deque<std::unique_ptr<Stream>> active;
 
   bool open_next() {
@@ -69,7 +72,9 @@ struct MSDecoder {
 extern "C" {
 
 void* msd_open(const char** paths, int n_paths, int max_streams, int out_w,
-               int out_h, int nw, int nh, int px, int py, int mode) {
+               int out_h, int nw, int nh, int px, int py, int mode,
+               int stride) {
+  if (stride < 1) return nullptr;
   if (mode == 1 && (nw != out_w || nh != out_h)) {
     // CONTENT mode writes cvtColor output into a Mat wrapping the caller's
     // (out_h, out_w) buffer; a mismatched (nh, nw) would make Mat::create
@@ -87,6 +92,7 @@ void* msd_open(const char** paths, int n_paths, int max_streams, int out_w,
   d->px = px;
   d->py = py;
   d->mode = mode;
+  d->stride = stride;
   while (static_cast<int>(d->active.size()) < max_streams && d->open_next()) {
   }
   return d;
@@ -103,12 +109,16 @@ int msd_next(void* h, int B, unsigned char* out, int* stream_idx,
   while (k < B && !d->active.empty()) {
     std::unique_ptr<Stream> st = std::move(d->active.front());
     d->active.pop_front();
-    if (!st->cap.read(frame)) {
+    bool ok = true;
+    if (st->frame_no > 0) {  // first returned frame is always source frame 1
+      for (int s = 1; s < d->stride && ok; ++s) ok = st->cap.grab();
+    }
+    if (!ok || !st->cap.read(frame)) {
       st->cap.release();
       d->open_next();
       continue;  // st destroyed
     }
-    st->frame_no += 1;
+    st->frame_no = st->frame_no == 0 ? 1 : st->frame_no + d->stride;
     unsigned char* base = out + slot * k;
     cv::Mat dst(d->out_h, d->out_w, CV_8UC3, base);
     if (d->mode == 0) {

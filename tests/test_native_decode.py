@@ -201,3 +201,49 @@ def test_streaming_events_identical_native_vs_python(tmp_path_factory):
         results[native] = _event_map(out["events"])
     assert results[True], "native path produced no events"
     assert results[True] == results[False]
+
+
+def test_raw_mode_frame_stride_matches_python(videos):
+    """stride=3 returns source frames 1,4,7,... byte-exact with true frame
+    numbers and timestamps (skipped frames advance the codec via grab())."""
+    ref_frames, ref_stamps = _decode_all_py(videos[0])
+    dec = MultiStreamDecoder([videos[0]], 1, (240, 320), MODE_RAW,
+                             frame_stride=3)
+    got, stamps = {}, {}
+    while True:
+        frames, _sidx, fno, st, k = dec.next_batch(4)
+        if k == 0:
+            break
+        for b in range(k):
+            got[int(fno[b])] = frames[b].copy()
+            stamps[int(fno[b])] = st[b]
+    dec.close()
+    expect = list(range(1, len(ref_frames) + 1, 3))
+    assert sorted(got) == expect
+    for n in expect:
+        assert np.array_equal(got[n], ref_frames[n - 1])
+        np.testing.assert_allclose(stamps[n], ref_stamps[n - 1])
+
+
+def test_video_batcher_frame_stride_native_python_parity(tmp_path):
+    from cvsd_tpu.data.video import VideoBatcher
+
+    p = write_test_video(str(tmp_path / "v.mp4"), num_frames=37,
+                         width=320, height=240, seed=3)
+
+    def collect(**kw):
+        out = []
+        for b in VideoBatcher(p, batch_size=8, frame_stride=2, **kw):
+            for i in range(8):
+                if b.mask[i]:
+                    out.append((int(b.frame_numbers[i]),
+                                float(b.timestamps_ms[i]), b.frames[i].copy()))
+        return out
+
+    a = collect(use_native_ring=False, use_native_decode=False)
+    b = collect(use_native_ring=False, use_native_decode=True)
+    assert [n for n, _, _ in a] == list(range(1, 38, 2))
+    assert len(a) == len(b)
+    for (n1, t1, f1), (n2, t2, f2) in zip(a, b):
+        assert n1 == n2 and abs(t1 - t2) < 1e-6
+        assert np.array_equal(f1, f2)

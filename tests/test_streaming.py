@@ -223,3 +223,43 @@ def test_on_event_callback_receives_all_events(streaming, tmp_path_factory):
     key = lambda e: (e.video, e.track_id, e.frame_end, round(e.score, 5))  # noqa: E731
     assert sorted(map(key, live)) == sorted(map(key, out["events"]))
     assert out["skipped"] == 0 and out["videos"] == 2
+
+
+def test_streaming_frame_stride(streaming, tmp_path_factory):
+    """detector.frame_stride=2: every window samples alternating source
+    frames, sequential and concurrent paths agree, and the frame counter
+    reflects only detected frames (the throughput lever against the host
+    decode floor — VERDICT r3 #4)."""
+    pipe, video = streaming
+    cfg = {**pipe.config, "detector": {**pipe.config["detector"],
+                                       "frame_stride": 2,
+                                       "native_decode": False}}
+    spipe = StreamingPipeline(cfg, pipe.scorer)
+    assert spipe.frame_stride == 2
+    seq_events = list(spipe.stream_video(video))
+    assert seq_events, "stride-2 streaming produced no events"
+    for e in seq_events:
+        diffs = np.diff(e.frames)
+        assert (diffs == 2).all(), e.frames
+        assert e.frames[0] % 2 == 1  # sampling grid 1, 3, 5, ...
+    out = spipe.stream_videos_concurrent([video], max_streams=1)
+    assert out["frames"] == 15  # 30 source frames, every 2nd detected
+    key = lambda e: (e.video, e.track_id, e.frame_end)  # noqa: E731
+    assert sorted(map(key, out["events"])) == sorted(map(key, seq_events))
+    seq_scores = {key(e): e.score for e in seq_events}
+    for e in out["events"]:
+        assert abs(seq_scores[key(e)] - e.score) < 1e-4
+
+    # native decoder path (when built): identical events at the same stride
+    try:
+        from cvsd_tpu.native.video import video_available
+        have_native = video_available()
+    except Exception:
+        have_native = False
+    if have_native:
+        ncfg = {**cfg, "detector": {**cfg["detector"], "native_decode": True}}
+        npipe = StreamingPipeline(ncfg, pipe.scorer)
+        nout = npipe.stream_videos_concurrent([video], max_streams=1)
+        assert sorted(map(key, nout["events"])) == sorted(map(key, out["events"]))
+        for e in nout["events"]:
+            assert abs(seq_scores[key(e)] - e.score) < 1e-4
