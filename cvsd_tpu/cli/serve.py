@@ -19,6 +19,14 @@ def main(argv=None) -> None:
                    help="enable /detect with this detector")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8470)
+    p.add_argument("--no-microbatch", action="store_true",
+                   help="disable adaptive request micro-batching (one device "
+                        "dispatch per request)")
+    p.add_argument("--window-ms", type=float, default=0.0,
+                   help="extra gather window per micro-batch (0 = adaptive "
+                        "only, no added latency)")
+    p.add_argument("--detect-batch", type=int, default=8,
+                   help="fixed /detect program batch (one compile shape)")
     args = p.parse_args(argv)
 
     from cvsd_tpu.config.config import apply_overrides
@@ -36,7 +44,9 @@ def main(argv=None) -> None:
         variables, cfg = load_detector_cli(
             args.detector_checkpoint, cfg, getattr(args, "overrides", []) or [])
         detection = DetectionPipeline(cfg, variables=variables)
-    ScoringServer(scorer, detection, host=args.host, port=args.port).serve_forever()
+    ScoringServer(scorer, detection, host=args.host, port=args.port,
+                  microbatch=not args.no_microbatch, window_ms=args.window_ms,
+                  detect_batch=args.detect_batch).serve_forever()
 
 
 if __name__ == "__main__":

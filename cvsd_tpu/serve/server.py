@@ -28,26 +28,88 @@ import numpy as np
 
 
 class ScoringServer:
-    """Wraps a ShopformerScorer (+ optional DetectionPipeline) in HTTP."""
+    """Wraps a ShopformerScorer (+ optional DetectionPipeline) in HTTP.
+
+    Concurrent requests are micro-batched (serve/microbatch.py): each
+    endpoint has a dispatcher thread that drains every pending request into
+    ONE device call, so at 32 concurrent clients the relay round-trip
+    (~35 ms, the per-dispatch floor) is paid once per batch instead of once
+    per request. window_ms=0 adds no latency for a lone request.
+    """
 
     def __init__(self, scorer, detection=None, host: str = "127.0.0.1",
-                 port: int = 8470):
+                 port: int = 8470, microbatch: bool = True,
+                 window_ms: float = 0.0, detect_batch: int = 8,
+                 max_score_items: int = 64):
+        from cvsd_tpu.serve.microbatch import MicroBatcher
+
         self.scorer = scorer
         self.detection = detection
         self.host = host
         self.port = int(port)
         self._lock = threading.Lock()  # serialize device dispatch
         self._httpd: Optional[ThreadingHTTPServer] = None
+        self.detect_batch = max(1, int(detect_batch))
+        self._score_mb = self._detect_mb = None
+        if microbatch:
+            self._score_mb = MicroBatcher(self._run_score_batch,
+                                          max_items=max_score_items,
+                                          window_ms=window_ms, name="score-mb")
+            if detection is not None:
+                self._detect_mb = MicroBatcher(self._run_detect_batch,
+                                               max_items=self.detect_batch,
+                                               window_ms=window_ms,
+                                               name="detect-mb")
 
     # -- request handlers (plain methods for testability) ---------------------
 
     def health(self) -> Dict[str, Any]:
         m = self.scorer.config.get("model", {})
-        return {"status": "ok",
-                "model": {"variant": m.get("variant"),
-                          "seq_len": m.get("seq_len"),
-                          "num_keypoints": m.get("num_keypoints")},
-                "detector": bool(self.detection is not None)}
+        out = {"status": "ok",
+               "model": {"variant": m.get("variant"),
+                         "seq_len": m.get("seq_len"),
+                         "num_keypoints": m.get("num_keypoints")},
+               "detector": bool(self.detection is not None)}
+        if self._score_mb is not None:
+            out["microbatch"] = {"score": self._score_mb.stats()}
+            if self._detect_mb is not None:
+                out["microbatch"]["detect"] = self._detect_mb.stats()
+        return out
+
+    # batched backends (called from the micro-batcher dispatcher threads) ----
+
+    def _run_score_batch(self, items):
+        """items: list of (Ni, T, V, C) arrays -> list of (Ni,) score arrays.
+        One concatenated scorer call per gather."""
+        sizes = [len(x) for x in items]
+        cat = np.concatenate(items) if len(items) > 1 else items[0]
+        with self._lock:
+            scores = self.scorer.score(cat)
+        out, off = [], 0
+        for n in sizes:
+            out.append(scores[off:off + n])
+            off += n
+        return out
+
+    def _run_detect_batch(self, canvases):
+        """canvases: list of (S, S, 3) uint8 -> list of per-image raw outs.
+        Always pads to the fixed detect_batch so exactly one program shape
+        compiles (static-shape convention)."""
+        k = len(canvases)
+        size = self.detection.model.img_size
+        batch = np.zeros((self.detect_batch, size, size, 3), np.uint8)
+        for i, c in enumerate(canvases):
+            batch[i] = c
+        with self._lock:
+            outs = self.detection.detect_frames(batch)
+        results = []
+        for i in range(k):
+            boxes, _xywhn, scores, valid = (o[i] for o in outs[:4])
+            kpts = outs[4][i] if len(outs) > 4 else None
+            results.append((np.asarray(boxes), np.asarray(scores),
+                            np.asarray(valid), None if kpts is None
+                            else np.asarray(kpts)))
+        return results
 
     def score(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         poses = np.asarray(payload["poses"], np.float32)
@@ -60,8 +122,11 @@ class ScoringServer:
         if poses.ndim != 4 or poses.shape[1:] != (T, V, C):
             raise ValueError(
                 f"poses must be (N, {T}, {V}, {C}); got {tuple(poses.shape)}")
-        with self._lock:
-            scores = self.scorer.score(poses)
+        if self._score_mb is not None:
+            scores = self._score_mb.submit(poses)
+        else:
+            with self._lock:
+                scores = self.scorer.score(poses)
         return {"scores": [float(s) for s in scores]}
 
     def detect(self, image_bytes: bytes) -> Dict[str, Any]:
@@ -76,29 +141,37 @@ class ScoringServer:
             raise ValueError("undecodable image payload")
         # host-letterbox every image onto ONE fixed canvas: arbitrary client
         # resolutions would otherwise each compile a fresh per-shape program
-        # (static-shape convention; ~20 s per new size on a remote chip)
+        # (static-shape convention; ~20 s per new size on a remote chip).
+        # Decode + letterbox run on the REQUEST thread (parallel across
+        # clients); only the device dispatch goes through the micro-batcher.
         h, w = img.shape[:2]
         size = self.detection.model.img_size
         scale, px, py, nw, nh = letterbox_params(h, w, size)
-        canvas = np.full((1, size, size, 3), PAD_VALUE, np.uint8)
-        canvas[0, py:py + nh, px:px + nw] = cv2.resize(
+        canvas = np.full((size, size, 3), PAD_VALUE, np.uint8)
+        canvas[py:py + nh, px:px + nw] = cv2.resize(
             img, (nw, nh), interpolation=cv2.INTER_LINEAR)[..., ::-1]
-        with self._lock:
-            outs = self.detection.detect_frames(canvas)
-        boxes, _xywhn, scores, valid = outs[:4]
-        keep = valid[0]
+        if self._detect_mb is not None:
+            boxes, scores, valid, kpts = self._detect_mb.submit(canvas)
+        else:
+            with self._lock:
+                outs = self.detection.detect_frames(canvas[None])
+            boxes = np.asarray(outs[0][0])
+            scores = np.asarray(outs[2][0])
+            valid = np.asarray(outs[3][0])
+            kpts = np.asarray(outs[4][0]) if len(outs) > 4 else None
+        keep = valid
         # unmap canvas coords -> source pixels on host
-        b = np.asarray(boxes[0][keep], np.float64)
+        b = np.asarray(boxes[keep], np.float64)
         b[:, [0, 2]] = (b[:, [0, 2]] - px) / scale
         b[:, [1, 3]] = (b[:, [1, 3]] - py) / scale
         b[:, [0, 2]] = b[:, [0, 2]].clip(0, w)
         b[:, [1, 3]] = b[:, [1, 3]].clip(0, h)
         out: Dict[str, Any] = {
             "boxes": b.round(2).tolist(),
-            "scores": np.asarray(scores[0][keep], np.float64).round(4).tolist(),
+            "scores": np.asarray(scores[keep], np.float64).round(4).tolist(),
         }
-        if len(outs) > 4:
-            k = np.asarray(outs[4][0][keep, :, :2], np.float64)
+        if kpts is not None:
+            k = np.asarray(kpts[keep, :, :2], np.float64)
             k[..., 0] = (k[..., 0] - px) / scale
             k[..., 1] = (k[..., 1] - py) / scale
             out["keypoints"] = k.round(2).tolist()
@@ -164,3 +237,7 @@ class ScoringServer:
             self._httpd.shutdown()
             self._httpd.server_close()
             self._httpd = None
+        for mb in (self._score_mb, self._detect_mb):
+            if mb is not None:
+                mb.stop()
+        self._score_mb = self._detect_mb = None

@@ -100,11 +100,15 @@ def test_detect_unmaps_to_source_pixels(server):
 
         @staticmethod
         def detect_frames(frames):
-            assert frames.shape == (1, size, size, 3)
-            return (canvas_box[None, None].astype(np.float32),
-                    np.zeros((1, 1, 4), np.float32),
-                    np.array([[0.9]], np.float32),
-                    np.array([[True]]))
+            B = frames.shape[0]  # 1 direct, detect_batch via micro-batcher
+            assert frames.shape[1:] == (size, size, 3)
+            boxes = np.zeros((B, 1, 4), np.float32)
+            boxes[0, 0] = canvas_box
+            scores = np.zeros((B, 1), np.float32)
+            scores[0, 0] = 0.9
+            valid = np.zeros((B, 1), bool)
+            valid[0, 0] = True
+            return (boxes, np.zeros((B, 1, 4), np.float32), scores, valid)
 
     real = server.detection
     server.detection = Oracle()
@@ -133,3 +137,68 @@ def test_bad_requests(server):
     assert status == 400
     status, obj = _get(f"http://127.0.0.1:{server.port}/healthz")
     assert status == 200  # server still alive after errors
+
+
+def test_concurrent_score_requests_share_dispatches(server):
+    """32 concurrent clients: the micro-batcher must pack >1 request per
+    device dispatch with responses identical to serial scoring (VERDICT r3
+    #6 — one relay round-trip per request capped the server at ~1/RTT)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    m = server.scorer.config["model"]
+    T, V = int(m.get("seq_len", 12)), int(m.get("num_keypoints", 18))
+    rng = np.random.default_rng(3)
+    payloads = [rng.normal(size=(2, T, V, 2)).astype(np.float32)
+                for _ in range(24)]
+    direct = [server.scorer.score(p) for p in payloads]
+
+    url = f"http://127.0.0.1:{server.port}/score"
+    mb = server._score_mb
+    assert mb is not None
+    b0, i0 = mb.batches, mb.items
+    old_window = mb._window
+    mb._window = 0.03  # force a gather window so batching is deterministic
+    try:
+        with ThreadPoolExecutor(max_workers=32) as ex:
+            results = list(ex.map(
+                lambda p: _post(url, json.dumps(
+                    {"poses": p.tolist()}).encode()), payloads))
+    finally:
+        mb._window = old_window
+    for (status, obj), want in zip(results, direct):
+        assert status == 200
+        np.testing.assert_allclose(obj["scores"], want, rtol=1e-5)
+    di, db = mb.items - i0, mb.batches - b0
+    assert di == 24
+    assert db < di, f"no batching happened: {db} dispatches for {di} requests"
+    # stats surface on /healthz
+    _, h = _get(f"http://127.0.0.1:{server.port}/healthz")
+    assert h["microbatch"]["score"]["items"] >= 24
+
+
+def test_concurrent_detect_requests_share_dispatches(server):
+    from concurrent.futures import ThreadPoolExecutor
+
+    img = np.random.default_rng(4).integers(0, 255, (240, 320, 3), np.uint8)
+    ok, buf = cv2.imencode(".png", img)  # png: identical payload each time
+    assert ok
+    url = f"http://127.0.0.1:{server.port}/detect"
+    serial = _post(url, buf.tobytes(), "image/png")[1]
+
+    mb = server._detect_mb
+    assert mb is not None
+    b0, i0 = mb.batches, mb.items
+    old_window = mb._window
+    mb._window = 0.03
+    try:
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            results = [ex.submit(_post, url, buf.tobytes(), "image/png")
+                       for _ in range(8)]
+            results = [f.result() for f in results]
+    finally:
+        mb._window = old_window
+    for status, obj in results:
+        assert status == 200
+        assert obj == serial  # identical image -> identical response
+    di, db = mb.items - i0, mb.batches - b0
+    assert di >= 8 and db < di
