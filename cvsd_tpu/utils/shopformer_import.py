@@ -332,19 +332,32 @@ def import_shopformer_checkpoint(
     if model_cfg is None:
         emb = obj.get("config") if hasattr(obj, "get") else None
         m = (emb or {}).get("model", {})
+        # real v2 checkpoints embed the NESTED yaml schema
+        # (model.gcae.hidden_channels, model.transformer.num_heads —
+        # shopformer_2/configs/paper_config.yaml); flat keys are kept for
+        # hand-built configs and v1-style dicts
+        g = m.get("gcae", {}) or {}
+        t = m.get("transformer", {}) or {}
         model_cfg = reference_model_config(
             variant or m.get("variant", "v2"),
             num_keypoints=int(m.get("num_keypoints", 18 if (emb is not None) else 17)),
             seq_len=int(m.get("seq_len", 12)),
             num_tokens=int(m.get("num_tokens", 2)),
-            hidden_channels=int(m.get("hidden_channels", 64)),
-            latent_channels=int(m.get("latent_channels", 8)),
-            gcae_layers=int(m.get("gcae_layers", m.get("gcae_num_layers", 4))),
-            num_heads=int(m.get("num_heads", m.get("nhead", 2))),
-            num_encoder_layers=int(m.get("num_encoder_layers", 2)),
-            num_decoder_layers=int(m.get("num_decoder_layers", 2)),
-            dim_feedforward=int(m.get("dim_feedforward", 64)),
-            d_model=m.get("d_model"),
+            hidden_channels=int(m.get("hidden_channels",
+                                      g.get("hidden_channels", 64))),
+            latent_channels=int(m.get("latent_channels",
+                                      g.get("latent_channels", 8))),
+            gcae_layers=int(m.get("gcae_layers", m.get(
+                "gcae_num_layers", g.get("num_layers", 4)))),
+            num_heads=int(m.get("num_heads", m.get(
+                "nhead", t.get("num_heads", 2)))),
+            num_encoder_layers=int(m.get("num_encoder_layers",
+                                         t.get("num_layers", 2))),
+            num_decoder_layers=int(m.get("num_decoder_layers",
+                                         t.get("num_layers", 2))),
+            dim_feedforward=int(m.get("dim_feedforward",
+                                      t.get("dim_feedforward", 64))),
+            d_model=m.get("d_model", t.get("d_model")),
         )
     variables = convert_state_dict(sd, model_cfg)
     from cvsd_tpu.models.shopformer import Shopformer
