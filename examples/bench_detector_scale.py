@@ -36,6 +36,11 @@ POINTS = [
 ]
 
 
+# v5e roofline constants for context columns (per chip)
+BF16_PEAK_TFLOPS = 197.0
+HBM_PEAK_GBPS = 819.0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
@@ -43,6 +48,11 @@ def main() -> None:
     ap.add_argument("--img", type=int, default=640)
     ap.add_argument("--depth-mult", type=float, default=0.67)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--raw-forward", action="store_true",
+                    help="also time the bare conv forward (no letterbox/"
+                         "decode/NMS) per point — isolates postprocess "
+                         "overhead from the conv stack")
+    ap.add_argument("--out", default=None, help="write results JSON here")
     args = ap.parse_args()
 
     import jax
@@ -110,9 +120,58 @@ def main() -> None:
                "hbm_gb_per_batch": round(hbm / 1e9, 2) if hbm else None,
                "eff_tflops": round(flops / 1e12 / (best / iters), 1) if flops else None,
                "hbm_gbps": round(hbm / 1e9 / (best / iters), 0) if hbm else None}
+        if flops and hbm:
+            # roofline context: arithmetic intensity vs the v5e ridge point
+            # (~peak_flops/peak_bw = 240 flop/byte) says whether a point CAN
+            # be compute-bound; pct_* say which resource it actually uses
+            row["intensity_flop_per_byte"] = round(flops / hbm, 1)
+            row["pct_bf16_peak"] = round(100 * row["eff_tflops"] / BF16_PEAK_TFLOPS, 1)
+            row["pct_hbm_peak"] = round(100 * row["hbm_gbps"] / HBM_PEAK_GBPS, 1)
+        if args.raw_forward:
+            # bare conv forward on a device-resident pre-letterboxed canvas:
+            # the (full - raw) gap is letterbox + decode + NMS + uint8 upload
+            # handling, a fixed cost that weighs more at smaller widths
+            import jax as _jax
+
+            canvas = jnp.asarray(
+                rng.random((batch, args.img, args.img, 3), np.float32),
+                dtype=jnp.bfloat16 if backend == "tpu" else jnp.float32)
+            raw_fn = _jax.jit(lambda v, x: pipe.model.apply(v, x, train=False))
+            raw_reduce = _jax.jit(lambda outs: sum(
+                jnp.sum(o.astype(jnp.float32))
+                for o in _jax.tree_util.tree_leaves(outs)))
+            rflops = rbytes = None
+            try:
+                cost = raw_fn.lower(pipe.variables, canvas).compile().cost_analysis()
+                if isinstance(cost, list):
+                    cost = cost[0]
+                rflops = float(cost.get("flops", 0.0))
+                rbytes = float(cost.get("bytes accessed", 0.0))
+            except Exception:  # noqa: BLE001
+                pass
+            float(raw_reduce(raw_fn(pipe.variables, canvas)))  # compile
+            rbest = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                acc = jnp.float32(0)
+                for _i in range(iters):
+                    acc = acc + raw_reduce(raw_fn(pipe.variables, canvas))
+                float(acc)
+                rbest = min(rbest, time.perf_counter() - t0)
+            row["raw_ms_per_batch"] = round(1000 * rbest / iters, 2)
+            if rflops:
+                row["raw_eff_tflops"] = round(rflops / 1e12 / (rbest / iters), 1)
+                row["raw_pct_bf16_peak"] = round(
+                    100 * row["raw_eff_tflops"] / BF16_PEAK_TFLOPS, 1)
+            if rbytes:
+                row["raw_hbm_gbps"] = round(rbytes / 1e9 / (rbest / iters), 0)
         results.append(row)
         print(json.dumps(row))
     print(json.dumps({"results": results}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"img": args.img, "batch": batch, "results": results}, f,
+                      indent=2)
 
 
 if __name__ == "__main__":
