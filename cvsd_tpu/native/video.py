@@ -27,6 +27,9 @@ _vfailed = False
 MODE_RAW, MODE_CONTENT, MODE_CANVAS = 0, 1, 2
 
 
+_ABI_VERSION = 2  # must match msd_abi_version() in native/video_decode.cpp
+
+
 def load_video_lib() -> Optional[ctypes.CDLL]:
     global _vlib, _vfailed
     with _vlock:
@@ -34,14 +37,30 @@ def load_video_lib() -> Optional[ctypes.CDLL]:
             return _vlib
         if _vfailed:
             return None
-        if not os.path.exists(_VIDEO_LIB_PATH):
-            _try_build()  # best-effort; Makefile skips it without opencv4
+        # ALWAYS run make (a fraction of a second when up to date): an .so
+        # left over from an older checkout would load fine but silently
+        # drop newer trailing arguments (e.g. msd_open's stride)
+        _try_build()
         if not os.path.exists(_VIDEO_LIB_PATH):
             _vfailed = True
             return None
         try:
             lib = ctypes.CDLL(_VIDEO_LIB_PATH)
         except OSError:
+            _vfailed = True
+            return None
+        try:
+            lib.msd_abi_version.restype = ctypes.c_int
+            abi = int(lib.msd_abi_version())
+        except AttributeError:
+            abi = 1  # pre-versioning build
+        if abi != _ABI_VERSION:
+            import warnings
+
+            warnings.warn(
+                f"{_VIDEO_LIB_PATH}: ABI v{abi} != expected v{_ABI_VERSION} "
+                "and rebuild did not refresh it; native decode disabled",
+                RuntimeWarning)
             _vfailed = True
             return None
         lib.msd_open.restype = ctypes.c_void_p

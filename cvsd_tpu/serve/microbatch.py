@@ -94,7 +94,10 @@ class MicroBatcher:
                 if self._stopped and not self._pending:
                     return
             if self._window:
-                time.sleep(self._window)  # optional gather window
+                with self._cv:
+                    full = len(self._pending) >= self._max
+                if not full:  # a full batch gains nothing from waiting
+                    time.sleep(self._window)  # optional gather window
             with self._cv:
                 batch = self._pending[: self._max]
                 del self._pending[: len(batch)]

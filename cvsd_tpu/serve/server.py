@@ -70,10 +70,11 @@ class ScoringServer:
                          "seq_len": m.get("seq_len"),
                          "num_keypoints": m.get("num_keypoints")},
                "detector": bool(self.detection is not None)}
-        if self._score_mb is not None:
-            out["microbatch"] = {"score": self._score_mb.stats()}
-            if self._detect_mb is not None:
-                out["microbatch"]["detect"] = self._detect_mb.stats()
+        score_mb, detect_mb = self._score_mb, self._detect_mb  # vs stop() race
+        if score_mb is not None:
+            out["microbatch"] = {"score": score_mb.stats()}
+            if detect_mb is not None:
+                out["microbatch"]["detect"] = detect_mb.stats()
         return out
 
     # batched backends (called from the micro-batcher dispatcher threads) ----
@@ -122,8 +123,9 @@ class ScoringServer:
         if poses.ndim != 4 or poses.shape[1:] != (T, V, C):
             raise ValueError(
                 f"poses must be (N, {T}, {V}, {C}); got {tuple(poses.shape)}")
-        if self._score_mb is not None:
-            scores = self._score_mb.submit(poses)
+        score_mb = self._score_mb  # snapshot vs concurrent stop()
+        if score_mb is not None:
+            scores = score_mb.submit(poses)
         else:
             with self._lock:
                 scores = self.scorer.score(poses)
@@ -150,8 +152,9 @@ class ScoringServer:
         canvas = np.full((size, size, 3), PAD_VALUE, np.uint8)
         canvas[py:py + nh, px:px + nw] = cv2.resize(
             img, (nw, nh), interpolation=cv2.INTER_LINEAR)[..., ::-1]
-        if self._detect_mb is not None:
-            boxes, scores, valid, kpts = self._detect_mb.submit(canvas)
+        detect_mb = self._detect_mb  # snapshot vs concurrent stop()
+        if detect_mb is not None:
+            boxes, scores, valid, kpts = detect_mb.submit(canvas)
         else:
             with self._lock:
                 outs = self.detection.detect_frames(canvas[None])

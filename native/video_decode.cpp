@@ -71,6 +71,11 @@ struct MSDecoder {
 
 extern "C" {
 
+// Bumped whenever an exported signature changes (round 4: msd_open gained
+// `stride`). The ctypes binding refuses to load a mismatched .so — a stale
+// build would otherwise silently drop trailing arguments on most ABIs.
+int msd_abi_version() { return 2; }
+
 void* msd_open(const char** paths, int n_paths, int max_streams, int out_w,
                int out_h, int nw, int nh, int px, int py, int mode,
                int stride) {

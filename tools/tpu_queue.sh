@@ -19,8 +19,13 @@ QLOG=$ART/logs/queue.log
 echo "QUEUE start $(date)" >> "$QLOG"
 
 tcp_up() { timeout 3 bash -c 'echo > /dev/tcp/127.0.0.1/8103' 2>/dev/null; }
+# Probe timeout MUST exceed the documented first-op stall after relay
+# recovery ("the FIRST op in a fresh process can stall minutes" — CLAUDE.md):
+# killing the probe mid-dispatch re-wedges the relay for 20-40 min, so a
+# short timeout here would livelock the gate by repeatedly re-wedging a
+# recovering relay. 900 s probe + a long back-off after any timed-out probe.
 probe() {
-  timeout 300 python -u -c "
+  timeout 900 python -u -c "
 import jax, jax.numpy as jnp
 print('probe', float(jnp.ones((8,8)).sum()))
 " > "$ART/logs/probe.log" 2>&1
@@ -30,7 +35,9 @@ wait_relay() {
     if tcp_up; then
       echo "tcp up $(date), probing" >> "$QLOG"
       if probe; then echo "probe OK $(date)" >> "$QLOG"; return 0; fi
-      echo "probe failed $(date)" >> "$QLOG"
+      echo "probe failed/timed out $(date); backing off 20 min" >> "$QLOG"
+      sleep 1200  # if we killed a stalling probe, let the relay recover
+      continue
     fi
     sleep 240
   done
