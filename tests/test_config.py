@@ -66,3 +66,15 @@ def test_save_json(tmp_path):
     p = tmp_path / "cfg.json"
     save_config(get_default_config(), str(p))
     assert os.path.exists(p)
+
+
+def test_streaming_production_config_loads():
+    """The shipped production recipe must load and carry its documented
+    operating point (configs/streaming_production.yaml)."""
+    from cvsd_tpu.config import load_config
+
+    cfg = load_config("configs/streaming_production.yaml")
+    d = cfg["detector"]
+    assert d["auto_size"] and d["host_letterbox"] == "content"
+    assert d["tracker"] == "byte" and int(d["frame_stride"]) == 2
+    assert cfg["model"]["num_tokens"] == 4
