@@ -8,3 +8,5 @@ python -u examples/bench_detector_scale.py --img 640 --batch 128 --raw-forward \
   --out artifacts/profile_640_raw.json
 python -u examples/bench_detector_scale.py --img 640 --batch 256 --iters 4 \
   --out artifacts/profile_640_b256.json
+python -u examples/bench_detector_scale.py --img 320 --batch 256 --iters 4 \
+  --out artifacts/profile_320_b256.json
