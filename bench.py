@@ -39,6 +39,67 @@ def _relay_reachable(timeout_s: float = 3.0) -> bool:
         return False
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except OSError:
+        return False
+
+
+def _acquire_tpu_lock():
+    """Advisory single-TPU-client lock shared with tools/tpu_queue.sh.
+
+    Two concurrent TPU clients through the axon relay risk wedging it for
+    20-40 min (CLAUDE.md), and the driver runs this script at round end while
+    the queue may be mid-job. Wait for the lock holder (a live pid recorded in
+    artifacts/tpu.lock) up to BENCH_LOCK_WAIT s, then take the lock ourselves.
+    The queue exports CVSD_TPU_LOCK_HELD=1 when it IS the invoker, in which
+    case the lock is already ours. Returns a cleanup fn (or None).
+    """
+    import sys
+
+    if os.environ.get("CVSD_TPU_LOCK_HELD"):
+        return None
+    lock = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "artifacts", "tpu.lock")
+    wait_s = float(os.environ.get("BENCH_LOCK_WAIT", "2700"))
+    deadline = time.time() + wait_s
+    t0 = time.time()
+    while os.path.exists(lock):
+        try:
+            with open(lock) as f:
+                pid = int(f.read().split()[0])
+        except (OSError, ValueError, IndexError):
+            break  # unreadable/corrupt -> treat as stale
+        if not _pid_alive(pid):
+            break  # holder died -> stale
+        if time.time() >= deadline:
+            print(f"bench: tpu.lock still held by live pid {pid} after "
+                  f"{wait_s:.0f}s; proceeding anyway", file=sys.stderr, flush=True)
+            return None
+        print(f"bench: waiting on tpu.lock (pid {pid}), "
+              f"{time.time() - t0:.0f}s of {wait_s:.0f}s", file=sys.stderr, flush=True)
+        time.sleep(20)
+    try:
+        os.makedirs(os.path.dirname(lock), exist_ok=True)
+        with open(lock, "w") as f:
+            f.write(f"{os.getpid()} bench\n")
+    except OSError:
+        return None
+
+    def _release() -> None:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+    import atexit
+
+    atexit.register(_release)
+    return _release
+
+
 def main() -> None:
     import jax
 
@@ -73,6 +134,7 @@ def main() -> None:
                 print(f"bench: relay down, waited {waited:.0f}s of {wait_s:.0f}s",
                       file=sys.stderr, flush=True)
             time.sleep(15)
+        _acquire_tpu_lock()  # serialize vs tools/tpu_queue.sh jobs
 
     import jax.numpy as jnp
 

@@ -19,6 +19,27 @@ QLOG=$ART/logs/queue.log
 echo "QUEUE start $(date)" >> "$QLOG"
 
 tcp_up() { timeout 3 bash -c 'echo > /dev/tcp/127.0.0.1/8103' 2>/dev/null; }
+# Advisory single-TPU-client lock shared with bench.py (the driver runs
+# bench.py at round end; two concurrent relay clients risk a 20-40 min
+# wedge). Held around the probe and for the whole job; jobs get
+# CVSD_TPU_LOCK_HELD=1 so a bench.py inside a job doesn't wait on itself.
+LOCK=$ART/tpu.lock
+lock_acquire() {
+  while [ -f "$LOCK" ]; do
+    pid=$(awk '{print $1}' "$LOCK" 2>/dev/null)
+    if [ -z "$pid" ] || ! kill -0 "$pid" 2>/dev/null; then
+      rm -f "$LOCK"; break   # stale (holder dead)
+    fi
+    echo "tpu.lock held by pid $pid, waiting $(date)" >> "$QLOG"
+    sleep 30
+  done
+  echo "$$ tpu_queue" > "$LOCK"
+}
+# only remove the lock if WE hold it (never clobber bench.py's lock)
+lock_release() {
+  [ -f "$LOCK" ] && [ "$(awk '{print $1}' "$LOCK" 2>/dev/null)" = "$$" ] && rm -f "$LOCK"
+}
+trap 'lock_release' EXIT
 # Probe timeout MUST exceed the documented first-op stall after relay
 # recovery ("the FIRST op in a fresh process can stall minutes" — CLAUDE.md):
 # killing the probe mid-dispatch re-wedges the relay for 20-40 min, so a
@@ -30,11 +51,15 @@ import jax, jax.numpy as jnp
 print('probe', float(jnp.ones((8,8)).sum()))
 " > "$ART/logs/probe.log" 2>&1
 }
+# On success, returns WITH the lock held (the caller runs the job then
+# releases); on probe failure the lock is released before the back-off.
 wait_relay() {
   while true; do
     if tcp_up; then
+      lock_acquire
       echo "tcp up $(date), probing" >> "$QLOG"
       if probe; then echo "probe OK $(date)" >> "$QLOG"; return 0; fi
+      lock_release
       echo "probe failed/timed out $(date); backing off 20 min" >> "$QLOG"
       sleep 1200  # if we killed a stalling probe, let the relay recover
       continue
@@ -48,10 +73,11 @@ for job in tools/tpu_jobs/*.sh; do
   [ -f "$ART/queue_state/$name.done" ] && continue
   tmo=$(sed -n 's/^# TIMEOUT=//p' "$job" | head -1)
   tmo=${tmo:-3600}
-  wait_relay
+  wait_relay  # returns holding the TPU lock
   echo "== $name start $(date) timeout=$tmo" >> "$QLOG"
-  timeout "$tmo" bash "$job" > "$ART/logs/$name.log" 2>&1
+  CVSD_TPU_LOCK_HELD=1 timeout "$tmo" bash "$job" > "$ART/logs/$name.log" 2>&1
   rc=$?
+  lock_release
   echo "== $name exit $rc $(date)" >> "$QLOG"
   [ "$rc" -eq 0 ] && touch "$ART/queue_state/$name.done"
   sleep 20
