@@ -39,6 +39,10 @@ def _relay_reachable(timeout_s: float = 3.0) -> bool:
         return False
 
 
+def _artifacts_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+
+
 def _latest_queue_capture():
     """Most recent real-TPU bench JSON captured by the job queue this round.
 
@@ -50,7 +54,7 @@ def _latest_queue_capture():
     """
     import datetime
 
-    art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+    art = _artifacts_dir()
     best = None
     try:
         names = sorted(os.listdir(art))
@@ -72,8 +76,8 @@ def _latest_queue_capture():
         mtime = os.path.getmtime(path)
         if best is None or mtime > best[0]:
             rec.setdefault("details", {})
-            rec["details"]["captured_at"] = (
-                datetime.datetime.utcfromtimestamp(mtime).isoformat() + "Z")
+            rec["details"]["captured_at"] = datetime.datetime.fromtimestamp(
+                mtime, datetime.timezone.utc).isoformat().replace("+00:00", "Z")
             rec["details"]["capture_file"] = name
             best = (mtime, rec)
     return best[1] if best else None
@@ -101,8 +105,7 @@ def _acquire_tpu_lock():
 
     if os.environ.get("CVSD_TPU_LOCK_HELD"):
         return None
-    lock = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "artifacts", "tpu.lock")
+    lock = os.path.join(_artifacts_dir(), "tpu.lock")
     wait_s = float(os.environ.get("BENCH_LOCK_WAIT", "2700"))
     deadline = time.time() + wait_s
     t0 = time.time()
