@@ -55,6 +55,12 @@ def windows_from_bbox_csv(
             tracks.setdefault((r.clip, r.person), []).append(r)
         for rows in tracks.values():
             rows.sort(key=lambda r: r.frame)
+            # drop duplicate frames within a track: the CSVs are append-mode
+            # (reference parity, model.py:79-81), so a re-run preprocess over
+            # the same directory doubles every row; windows built across the
+            # duplicate boundary would be garbage
+            rows = [r for i, r in enumerate(rows)
+                    if i == 0 or r.frame != rows[i - 1].frame]
             feats = np.asarray([[r.left, r.top, r.width, r.height] for r in rows], np.float32)
             label = int(rows[0].is_anomaly)
             if len(feats) < min_len:

@@ -130,9 +130,15 @@ def main() -> None:
                            dtype="float32", host_letterbox="content")
     pipeline = DetectionPipeline(cfg, variables=det_variables)
 
-    # 3. preprocess both splits (reference CSV routing: anomaly vs normal)
+    # 3. preprocess both splits (reference CSV routing: anomaly vs normal).
+    # The CSV writer is append-mode (reference parity); start each run clean
+    # so a rerun over a reused --out directory cannot double the dataset.
     stats = {}
     for split, d in (("train", train_dir), ("test", test_dir)):
+        for csv_name in (ANOMALY_CSV, NORMAL_CSV):
+            p = os.path.join(d, csv_name)
+            if os.path.exists(p):
+                os.remove(p)
         t0 = time.time()
         s = preprocess_ucf_crime(cfg, d, pipeline=pipeline, verbose=False,
                                  max_streams=args.max_streams)

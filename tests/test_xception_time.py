@@ -31,6 +31,22 @@ def test_windows_from_bbox_csv(tmp_path):
     assert sorted(y.tolist()) == [0, 0, 1, 1]
 
 
+def test_windows_dedupe_double_appended_csv(tmp_path):
+    """The CSVs are append-mode (reference parity): preprocessing the same
+    directory twice doubles every row. Windowing must be invariant to that
+    (drop duplicate frames per track) — a re-run must not fabricate windows
+    across the duplicate boundary."""
+    p1 = _make_csv(tmp_path, "a", 1, True)
+    p2 = _make_csv(tmp_path, "b", 2, False)
+    X, y = windows_from_bbox_csv([p1, p2], seq_len=64, stride=32)
+    # append the SAME rows again (second preprocess run over the directory)
+    _make_csv(tmp_path, "a", 1, True)
+    _make_csv(tmp_path, "b", 2, False)
+    X2, y2 = windows_from_bbox_csv([p1, p2], seq_len=64, stride=32)
+    np.testing.assert_array_equal(X, X2)
+    np.testing.assert_array_equal(y, y2)
+
+
 def test_stratified_split():
     X = np.arange(100).reshape(100, 1, 1).astype(np.float32)
     y = np.array([0] * 80 + [1] * 20)
