@@ -187,6 +187,7 @@ class XceptionTimeClassifier:
         self.seed = seed
         self.standardizer = Standardizer()
         self.variables = None
+        self._fwd = None  # jitted inference fn, built once (see _predict_logits)
 
     def _init(self):
         dummy = jnp.zeros((2, self.seq_len, self.num_channels), jnp.float32)
@@ -270,12 +271,24 @@ class XceptionTimeClassifier:
         return {"history": history}
 
     def _predict_logits(self, params, batch_stats, X: np.ndarray, batch_size: int = 256) -> np.ndarray:
-        model = self.model
-        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        # jit ONCE per instance and pad the tail chunk to a fixed shape: a
+        # fresh jit per call (the old code) recompiled the forward every
+        # validation epoch — ~30-60 s/epoch on CPU and a full remote compile
+        # per epoch on relay-attached TPU — and every distinct tail length
+        # would add one more compile
+        if self._fwd is None:
+            model = self.model
+            self._fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
         out = []
         for s in range(0, len(X), batch_size):
-            out.append(np.asarray(fwd({"params": params, "batch_stats": batch_stats},
-                                      jnp.asarray(X[s : s + batch_size]))))
+            xb = X[s : s + batch_size]
+            n = len(xb)
+            if n < batch_size:
+                xb = np.concatenate(
+                    [xb, np.zeros((batch_size - n, *xb.shape[1:]), xb.dtype)])
+            logits = np.asarray(self._fwd({"params": params, "batch_stats": batch_stats},
+                                          jnp.asarray(xb)))
+            out.append(logits[:n])
         return np.concatenate(out) if out else np.zeros((0, 2), np.float32)
 
     def predict(self, X: np.ndarray) -> np.ndarray:
