@@ -23,6 +23,29 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _retry(fn, attempts: int = 3, base_sleep: float = 60.0):
+    """Retry a device dispatch through transient relay failures.
+
+    The axon relay occasionally drops a request mid-flight (observed
+    2026-08-19: `remote_compile: response body closed` at step 650/1200,
+    losing 35 min of training). DetectorTrainer only assigns its state
+    AFTER a successful dispatch, so re-running the same chunk is safe.
+    A wedged relay won't recover within these retries — then we fail and
+    the job queue retries the whole job."""
+    import jax
+
+    for k in range(attempts):
+        try:
+            return fn()
+        except jax.errors.JaxRuntimeError as e:
+            if k == attempts - 1:
+                raise
+            wait = base_sleep * (k + 1)
+            print(f"transient device error ({e}); retry {k + 1}/{attempts - 1} "
+                  f"in {wait:.0f}s", flush=True)
+            time.sleep(wait)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1200)
@@ -76,7 +99,7 @@ def main() -> None:
         for i in range(n):
             imgs[i], gb[i], gv[i], gk[i] = rendered_scene_batch(
                 rng, args.batch, args.img, args.max_persons, seq_source)
-        out = trainer.train_steps_scan(imgs, gb, gv, gk)
+        out = _retry(lambda: trainer.train_steps_scan(imgs, gb, gv, gk))
         losses.extend(out["losses"].tolist())
         done += n
         print(f"step {done}/{args.steps} loss {np.mean(out['losses']):.4f} "
@@ -87,8 +110,9 @@ def main() -> None:
     ev_imgs, ev_b, ev_v, ev_k = rendered_scene_batch(
         eval_rng, args.eval_size, args.img, args.max_persons, seq_source)
     detect = make_detect_fn(model, conf_thresh=0.25, iou_thresh=0.45, max_detections=16)
-    res = evaluate_detector(detect, trainer.variables, ev_imgs, ev_b, ev_v, ev_k,
-                            coco_map=True)
+    res = _retry(lambda: evaluate_detector(detect, trainer.variables,
+                                           ev_imgs, ev_b, ev_v, ev_k,
+                                           coco_map=True))
     summary = {
         "steps": args.steps, "img": args.img, "batch": args.batch,
         "width_mult": args.width, "depth_mult": args.depth,
