@@ -46,6 +46,59 @@ def _retry(fn, attempts: int = 3, base_sleep: float = 60.0):
             time.sleep(wait)
 
 
+def _partial_paths(out: str):
+    base = out + ".partial"
+    return base + ".msgpack", base + ".json"
+
+
+def _save_partial(out: str, trainer, done: int, losses) -> None:
+    """Atomically persist mid-train state (params/opt/EMA + progress).
+
+    Sessions here die often (relay drops, driver restarts); without this a
+    1200-step retrain loses everything mid-run (happened twice: step 650
+    then step 500 on 2026-08-19). Saved every scan chunk (~2 min)."""
+    import jax
+    from flax import serialization
+
+    mp, js = _partial_paths(out)
+    state = {"variables": trainer.variables, "opt_state": trainer.opt_state}
+    if trainer.ema_params is not None:
+        state["ema_params"] = trainer.ema_params
+    blob = serialization.to_bytes(jax.device_get(state))
+    tmp = mp + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, mp)
+    tmp = js + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"done": done, "ema_t": trainer._ema_t,
+                   "losses": [float(x) for x in losses]}, f)
+    os.replace(tmp, js)
+
+
+def _load_partial(out: str, trainer):
+    """Restore mid-train state if present; returns (done, losses)."""
+    from flax import serialization
+
+    mp, js = _partial_paths(out)
+    if not (os.path.exists(mp) and os.path.exists(js)):
+        return 0, []
+    with open(js) as f:
+        meta = json.load(f)
+    target = {"variables": trainer.variables, "opt_state": trainer.opt_state}
+    if trainer.ema_params is not None:
+        target["ema_params"] = trainer.ema_params
+    with open(mp, "rb") as f:
+        state = serialization.from_bytes(target, f.read())
+    trainer.variables = state["variables"]
+    trainer.opt_state = state["opt_state"]
+    if trainer.ema_params is not None:
+        trainer.ema_params = state["ema_params"]
+    trainer._ema_t = int(meta["ema_t"])
+    print(f"resumed from {mp} at step {meta['done']}", flush=True)
+    return int(meta["done"]), list(meta["losses"])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1200)
@@ -79,7 +132,6 @@ def main() -> None:
     from cvsd_tpu.train.detector_train import DetectorTrainer
 
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
-    rng = np.random.default_rng(args.seed)
     ds = SyntheticPoseLiftDataset(num_samples=64, seq_len=8, anomaly_ratio=0.5, seed=7)
     seq_source = ds.poses.reshape(-1, 17, 2)
 
@@ -87,11 +139,13 @@ def main() -> None:
                            depth_mult=args.depth, num_keypoints=17)
     trainer = DetectorTrainer(model, lr=args.lr, kpt_weight=0.1)
 
-    losses = []
+    done, losses = _load_partial(args.out, trainer)
     t0 = time.time()
-    done = 0
     while done < args.steps:
         n = min(args.scan_chunk, args.steps - done)
+        # seed each chunk from (seed, done) so a resumed run draws the same
+        # scenes it would have, without replaying earlier chunks on the host
+        rng = np.random.default_rng([args.seed, done])
         imgs = np.empty((n, args.batch, args.img, args.img, 3), np.float32)
         gb = np.empty((n, args.batch, args.max_persons, 4), np.float32)
         gv = np.empty((n, args.batch, args.max_persons), bool)
@@ -102,6 +156,7 @@ def main() -> None:
         out = _retry(lambda: trainer.train_steps_scan(imgs, gb, gv, gk))
         losses.extend(out["losses"].tolist())
         done += n
+        _save_partial(args.out, trainer, done, losses)
         print(f"step {done}/{args.steps} loss {np.mean(out['losses']):.4f} "
               f"({time.time()-t0:.0f}s)", flush=True)
 
@@ -133,6 +188,9 @@ def main() -> None:
         json.dump({**summary,
                    "precision": res["precision"].tolist()[::max(len(res["precision"]) // 200, 1)],
                    "recall": res["recall"].tolist()[::max(len(res["recall"]) // 200, 1)]}, f)
+    for p in _partial_paths(args.out):
+        if os.path.exists(p):
+            os.remove(p)
 
 
 if __name__ == "__main__":
