@@ -118,6 +118,23 @@ def _acquire_tpu_lock():
         if not _pid_alive(pid):
             break  # holder died -> stale
         if time.time() >= deadline:
+            # A live holder after the full wait means a long queue job is
+            # mid-flight. Dispatching a second TPU client alongside it risks
+            # wedging the relay for 20-40 min (CLAUDE.md) AND killing that
+            # job; reporting this round's latest real queue capture (clearly
+            # labeled stale) is strictly safer and more informative.
+            stale = _latest_queue_capture()
+            if stale is not None:
+                stale["details"] = dict(stale.get("details") or {})
+                stale["details"].update(
+                    stale_capture=True,
+                    tpu_lock_held_by_live_pid=pid,
+                    note="tpu.lock held by a live queue job for the full "
+                         f"{wait_s:.0f}s wait; this is the most recent "
+                         "real-TPU measurement from this round's job queue",
+                )
+                print(json.dumps(stale))
+                raise SystemExit(0)
             print(f"bench: tpu.lock still held by live pid {pid} after "
                   f"{wait_s:.0f}s; proceeding anyway", file=sys.stderr, flush=True)
             return None
