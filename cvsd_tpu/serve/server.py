@@ -27,6 +27,12 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 
+class _Server(ThreadingHTTPServer):
+    # stdlib default backlog is 5; 32+ concurrent clients connecting while a
+    # handler thread holds a long first-compile can overflow it
+    request_queue_size = 128
+
+
 class ScoringServer:
     """Wraps a ShopformerScorer (+ optional DetectionPipeline) in HTTP.
 
@@ -48,7 +54,7 @@ class ScoringServer:
         self.host = host
         self.port = int(port)
         self._lock = threading.Lock()  # serialize device dispatch
-        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._httpd: Optional[ThreadingHTTPServer] = None  # _Server instance
         self.detect_batch = max(1, int(detect_batch))
         self._score_mb = self._detect_mb = None
         if microbatch:
@@ -213,23 +219,36 @@ class ScoringServer:
                         self._reply(404, {"error": f"no route {self.path}"})
                 except (ValueError, KeyError, TypeError) as e:
                     # validation problems are the client's fault
-                    self._reply(400, {"error": str(e)})
+                    self._safe_error_reply(400, e)
                 except Exception as e:  # noqa: BLE001 — genuine server fault
-                    self._reply(500, {"error": str(e)})
+                    self._safe_error_reply(500, e)
+
+            def _safe_error_reply(self, code: int, err: Exception) -> None:
+                # the error reply itself must never kill the handler thread
+                # without a trace (the client would just see a connection
+                # reset); log the fault and best-effort the JSON reply
+                import sys
+                import traceback
+                print(f"serve error ({code}): {err!r}", file=sys.stderr,
+                      flush=True)
+                if code >= 500:
+                    traceback.print_exc()
+                try:
+                    self._reply(code, {"error": str(err)})
+                except OSError:
+                    pass  # client already gone
 
         return Handler
 
     def start(self) -> None:
         """Start serving in a background thread (returns immediately)."""
-        self._httpd = ThreadingHTTPServer((self.host, self.port),
-                                          self._make_handler())
+        self._httpd = _Server((self.host, self.port), self._make_handler())
         self.port = self._httpd.server_address[1]  # resolve port 0
         t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         t.start()
 
     def serve_forever(self) -> None:
-        self._httpd = ThreadingHTTPServer((self.host, self.port),
-                                          self._make_handler())
+        self._httpd = _Server((self.host, self.port), self._make_handler())
         self.port = self._httpd.server_address[1]
         print(f"serving on http://{self.host}:{self.port} "
               f"(/healthz /score{' /detect' if self.detection else ''})")

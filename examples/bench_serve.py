@@ -53,11 +53,31 @@ def main() -> None:
         size=(args.windows_per_request, T, V, 2)).tolist()}).encode()
         for _ in range(64)]
 
+    import http.client
+    import urllib.error
+
+    retries = {"n": 0}
+
     def post(url, body):
+        # Transient relay faults (CLAUDE.md: "remote_compile: response body
+        # closed" killed a mid-train dispatch) can surface here as a 5xx or a
+        # dropped connection; a 40-minute A/B must not die on one of them.
         req = urllib.request.Request(
             url, data=body, headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=600) as r:
-            return json.loads(r.read())
+        for attempt in range(6):
+            try:
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    return json.loads(r.read())
+            except (ConnectionResetError, ConnectionRefusedError,
+                    http.client.RemoteDisconnected, TimeoutError,
+                    urllib.error.URLError, urllib.error.HTTPError) as e:
+                if isinstance(e, urllib.error.HTTPError) and e.code < 500:
+                    raise
+                if attempt == 5:
+                    raise
+                retries["n"] += 1
+                print(f"post retry {attempt + 1}: {e!r}", flush=True)
+                time.sleep(0.5 * (2 ** attempt))
 
     results = {}
     for mode, micro in (("per_request", False), ("microbatch", True)):
@@ -81,6 +101,7 @@ def main() -> None:
                 "clients": args.clients, "requests": args.requests,
                 "items_per_batch": stats.get("items_per_batch"),
                 "max_batch": stats.get("max_batch"),
+                "transport_retries": retries["n"],
             }
             print(f"{mode}: {results[mode]['req_per_sec']:.1f} req/s "
                   f"({dt:.2f}s for {args.requests}; "
