@@ -73,6 +73,11 @@ def _latest_queue_capture():
             continue
         if not isinstance(rec, dict) or not rec.get("value"):
             continue  # error/0.0 captures don't count
+        if (rec.get("details") or {}).get("stale_capture"):
+            # a previously-emitted fallback that a queue job tee'd back into
+            # artifacts/ — re-ingesting it would refresh captured_at and
+            # stack labels; always chain back to a REAL capture instead
+            continue
         mtime = os.path.getmtime(path)
         if best is None or mtime > best[0]:
             rec.setdefault("details", {})
