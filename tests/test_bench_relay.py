@@ -82,3 +82,16 @@ class TestStaleCaptureFallback:
         (art / "bench_bad.json").write_text("{not json\n")
         self._write(art, "bench_r4.json", 1500.0)
         assert bench._latest_queue_capture()["value"] == 1500.0
+
+    def test_stale_fallbacks_never_reingested(self, art):
+        # a queue job can tee a previously-emitted stale fallback back into
+        # artifacts/; the newest REAL capture must still win even when the
+        # stale file is newer
+        self._write(art, "bench_r4.json", 1500.0, mtime=1_000_000)
+        (art / "bench_r4_final.json").write_text(json.dumps(
+            {"metric": "detect_fps_per_chip", "value": 1500.0, "unit": "fps",
+             "vs_baseline": 50.0,
+             "details": {"backend": "tpu", "stale_capture": True}}) + "\n")
+        rec = bench._latest_queue_capture()
+        assert rec["details"]["capture_file"] == "bench_r4.json"
+        assert "stale_capture" not in rec["details"]
