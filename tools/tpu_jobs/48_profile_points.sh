@@ -10,3 +10,8 @@ python -u examples/bench_detector_scale.py --img 640 --batch 256 --iters 4 \
   --out artifacts/profile_640_b256.json
 python -u examples/bench_detector_scale.py --img 320 --batch 256 --iters 4 \
   --out artifacts/profile_320_b256.json
+# push batch scaling at the production point further (VERDICT r3 #7: "if
+# it's fixable, e.g. batch scaling at 320, fix it"): if B512 sustains more
+# eff TFLOPS, bench.py's auto-canvas detail adopts it
+python -u examples/bench_detector_scale.py --img 320 --batch 512 --iters 4 \
+  --out artifacts/profile_320_b512.json || true
