@@ -18,6 +18,12 @@ if os.environ.get("JAX_PLATFORMS"):
 
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# Opt-in persistent compile cache (CVSD_COMPILE_CACHE_DIR): skips the 15-40 s
+# remote compile on every CLI cold start once a program is cached.
+from cvsd_tpu.utils.compile_cache import maybe_enable_compile_cache
+
+maybe_enable_compile_cache()
+
 
 def add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--config", type=str, default=None, help="YAML config path")
