@@ -27,6 +27,9 @@ def main(argv=None) -> None:
                         "only, no added latency)")
     p.add_argument("--detect-batch", type=int, default=8,
                    help="fixed /detect program batch (one compile shape)")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the startup compile of both programs (first "
+                        "request then pays the 15-40 s remote compile)")
     args = p.parse_args(argv)
 
     from cvsd_tpu.config.config import apply_overrides
@@ -44,9 +47,14 @@ def main(argv=None) -> None:
         variables, cfg = load_detector_cli(
             args.detector_checkpoint, cfg, getattr(args, "overrides", []) or [])
         detection = DetectionPipeline(cfg, variables=variables)
-    ScoringServer(scorer, detection, host=args.host, port=args.port,
-                  microbatch=not args.no_microbatch, window_ms=args.window_ms,
-                  detect_batch=args.detect_batch).serve_forever()
+    server = ScoringServer(scorer, detection, host=args.host, port=args.port,
+                           microbatch=not args.no_microbatch,
+                           window_ms=args.window_ms,
+                           detect_batch=args.detect_batch)
+    if not args.no_warmup:
+        print("warming up (compiling serving programs)...", flush=True)
+        print(f"warmup done: {server.warmup()}", flush=True)
+    server.serve_forever()
 
 
 if __name__ == "__main__":

@@ -67,6 +67,43 @@ class ScoringServer:
                                                window_ms=window_ms,
                                                name="detect-mb")
 
+    def warmup(self) -> Dict[str, float]:
+        """Compile both serving programs before accepting traffic.
+
+        The first request otherwise pays the full XLA compile — 15-40 s
+        REMOTE on the relay — inside a client's request timeout (the
+        reference analogously pays ultralytics fuse + cuDNN autotune on its
+        first frame, /root/reference/model.py:14-38). Dispatches one
+        dummy batch through the exact static shapes live traffic uses
+        (scorer.score pads to data.batch_size; detect always pads to
+        detect_batch), so with CVSD_COMPILE_CACHE_DIR set this also
+        populates/reads the persistent cache and restarts get fast too.
+        Returns per-program seconds for the startup log."""
+        import time
+
+        m = self.scorer.config.get("model", {})
+        T = int(m.get("seq_len", 12))
+        V = int(m.get("num_keypoints", 18))
+        C = int(m.get("in_channels", 2))
+        times: Dict[str, float] = {}
+        t0 = time.time()
+        with self._lock:
+            self.scorer.score(np.zeros((1, T, V, C), np.float32))
+        times["score_s"] = round(time.time() - t0, 2)
+        if self.detection is not None:
+            from cvsd_tpu.ops.letterbox import PAD_VALUE
+
+            size = self.detection.model.img_size
+            batch = np.full((self.detect_batch, size, size, 3), PAD_VALUE,
+                            np.uint8)
+            t0 = time.time()
+            with self._lock:
+                outs = self.detection.detect_frames(batch)
+                # force the device->host sync (relay-safe scalar fetch)
+                float(np.asarray(outs[2]).sum())
+            times["detect_s"] = round(time.time() - t0, 2)
+        return times
+
     # -- request handlers (plain methods for testability) ---------------------
 
     def health(self) -> Dict[str, Any]:

@@ -202,3 +202,29 @@ def test_concurrent_detect_requests_share_dispatches(server):
         assert obj == serial  # identical image -> identical response
     di, db = mb.items - i0, mb.batches - b0
     assert di >= 8 and db < di
+
+
+def test_warmup_compiles_the_serving_programs():
+    """warmup() must dispatch the exact static shapes live traffic uses, so
+    the first real request re-uses the compiled programs (no second trace).
+    Fresh server instance: the module fixture has already dispatched."""
+    cfg = get_default_config()
+    cfg["model"]["hidden_channels"] = 8
+    cfg["detector"].update(img_size=128, width_mult=0.25, depth_mult=0.34,
+                           batch_size=1, conf_threshold=0.0, max_detections=4,
+                           dtype="float32", pose_head=True)
+    model = build_shopformer(cfg)
+    scorer = ShopformerScorer(model, model.init_variables(jax.random.PRNGKey(0)), cfg)
+    from cvsd_tpu.pipeline.preprocess import DetectionPipeline
+
+    srv = ScoringServer(scorer, DetectionPipeline(cfg), port=0, microbatch=False)
+    times = srv.warmup()
+    assert set(times) == {"score_s", "detect_s"}
+    assert all(t >= 0 for t in times.values())
+    assert scorer._score._cache_size() == 1
+    # real traffic after warmup: same padded shape, so NO new compile
+    T = int(cfg["model"].get("seq_len", 12))
+    V = int(cfg["model"].get("num_keypoints", 18))
+    out = srv.score({"poses": np.zeros((3, T, V, 2)).tolist()})
+    assert len(out["scores"]) == 3
+    assert scorer._score._cache_size() == 1
