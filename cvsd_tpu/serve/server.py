@@ -75,8 +75,9 @@ class ScoringServer:
         reference analogously pays ultralytics fuse + cuDNN autotune on its
         first frame, /root/reference/model.py:14-38). Dispatches one
         dummy batch through the exact static shapes live traffic uses
-        (scorer.score pads to data.batch_size; detect always pads to
-        detect_batch), so with CVSD_COMPILE_CACHE_DIR set this also
+        (scorer.score pads to data.batch_size; micro-batched detect pads to
+        detect_batch, no-microbatch detect dispatches batch 1 — warmed
+        separately below), so with CVSD_COMPILE_CACHE_DIR set this also
         populates/reads the persistent cache and restarts get fast too.
         Returns per-program seconds for the startup log."""
         import time
@@ -94,8 +95,13 @@ class ScoringServer:
             from cvsd_tpu.ops.letterbox import PAD_VALUE
 
             size = self.detection.model.img_size
-            batch = np.full((self.detect_batch, size, size, 3), PAD_VALUE,
-                            np.uint8)
+            # warm the shape live traffic will actually dispatch: the
+            # micro-batcher pads to (detect_batch, S, S, 3); the
+            # --no-microbatch handler dispatches (1, S, S, 3) per request
+            # (a different jit program — warming only detect_batch would
+            # leave the first real /detect paying the full remote compile)
+            n = self.detect_batch if self._detect_mb is not None else 1
+            batch = np.full((n, size, size, 3), PAD_VALUE, np.uint8)
             t0 = time.time()
             with self._lock:
                 outs = self.detection.detect_frames(batch)

@@ -56,6 +56,9 @@ print(json.dumps({"first_result_s": round(time.time() - t0, 2),
 
 def _run(env_extra):
     env = dict(os.environ)
+    # the no_cache baseline must not inherit an ambient cache dir (README
+    # suggests exporting it globally) — only the explicit arms enable it
+    env.pop("CVSD_COMPILE_CACHE_DIR", None)
     env["CVSD_REPO"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env.update(env_extra)
     r = subprocess.run([sys.executable, "-c", _CHILD], env=env,

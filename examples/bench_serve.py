@@ -101,8 +101,13 @@ def main() -> None:
                 "clients": args.clients, "requests": args.requests,
                 "items_per_batch": stats.get("items_per_batch"),
                 "max_batch": stats.get("max_batch"),
-                "transport_retries": retries["n"],
+                # per-mode delta, not the shared running total; note that a
+                # retry after TimeoutError/URLError may re-submit a request
+                # the server already processed, slightly inflating req/s
+                "transport_retries": retries["n"] - retries.get("at_mode_start", 0),
+                "retry_caveat": "timeout retries may double-submit",
             }
+            retries["at_mode_start"] = retries["n"]
             print(f"{mode}: {results[mode]['req_per_sec']:.1f} req/s "
                   f"({dt:.2f}s for {args.requests}; "
                   f"items/batch={stats.get('items_per_batch')})", flush=True)
