@@ -10,7 +10,13 @@
 # unbuffered. NEVER run two TPU processes at once: this runner is the only
 # sanctioned way to launch TPU work while it is alive.
 #
-# Usage: nohup bash tools/tpu_queue.sh & (or via the session's background Bash)
+# The pending-job list is RE-GLOBBED before every job (round-4 gotcha: a
+# single up-front glob meant files added/renamed after queue start were
+# silently skipped for the whole pass, which forced nested "catch-up
+# preamble" hacks inside job scripts). A job that fails is not retried
+# within the same pass (the supervisor relaunches for retries).
+#
+# Usage: setsid nohup bash tools/tpu_queue.sh >/dev/null 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
 ART=artifacts
@@ -68,9 +74,24 @@ wait_relay() {
   done
 }
 
-for job in tools/tpu_jobs/*.sh; do
+# First pending job (re-globbed fresh) that has not been attempted this pass.
+attempted=""
+next_job() {
+  local j name
+  for j in tools/tpu_jobs/*.sh; do
+    [ -f "$j" ] || continue
+    name=$(basename "$j" .sh)
+    [ -f "$ART/queue_state/$name.done" ] && continue
+    case " $attempted " in *" $name "*) continue ;; esac
+    echo "$j"
+    return 0
+  done
+  return 1
+}
+
+while job=$(next_job); do
   name=$(basename "$job" .sh)
-  [ -f "$ART/queue_state/$name.done" ] && continue
+  attempted="$attempted $name"
   tmo=$(sed -n 's/^# TIMEOUT=//p' "$job" | head -1)
   tmo=${tmo:-3600}
   wait_relay  # returns holding the TPU lock
