@@ -36,6 +36,7 @@ from cvsd_tpu.ops.letterbox import letterbox_batch, letterbox_params, unletterbo
 from cvsd_tpu.parallel.mesh import MeshConfig, batch_sharding, replicate
 from cvsd_tpu.ops.iou import xyxy_to_xywhn
 from cvsd_tpu.track import IoUTracker, make_tracker
+from cvsd_tpu.utils.hostmem import malloc_trim
 
 
 class DetectionPipeline:
@@ -687,6 +688,7 @@ def preprocess_ucf_crime(
                             entry.label)
         stats["seconds"] = time.perf_counter() - t0
         stats["fps"] = stats["frames"] / stats["seconds"] if stats["seconds"] else 0.0
+        malloc_trim()  # arena hygiene for batch drivers (see utils/hostmem.py)
         return stats
 
     tracker = make_tracker(pipeline.config.get("detector"))
@@ -703,4 +705,5 @@ def preprocess_ucf_crime(
         if verbose:
             print(f"  {r['frames']} frames, {r['rows']} rows, {r['fps']:.1f} fps")
     stats["fps"] = stats["frames"] / stats["seconds"] if stats["seconds"] else 0.0
+    malloc_trim()  # arena hygiene for batch drivers (see utils/hostmem.py)
     return stats

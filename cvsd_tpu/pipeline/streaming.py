@@ -27,6 +27,7 @@ from cvsd_tpu.eval.evaluate import ShopformerScorer
 from cvsd_tpu.ops.letterbox import letterbox_params
 from cvsd_tpu.pipeline.preprocess import DetectionPipeline
 from cvsd_tpu.track import make_tracker
+from cvsd_tpu.utils.hostmem import malloc_trim
 
 
 @dataclass
@@ -249,6 +250,12 @@ class StreamingPipeline:
             events.extend(ev)
             n_frames += nf
             n_videos += nv
+        # Return freed glibc arena pages to the kernel: the per-batch host
+        # churn (decode buffers, letterbox canvases, relay serialization)
+        # otherwise ratchets RSS ~83 MB per 32-video pass on a long-running
+        # server (round-4 soak, artifacts/soak_streaming.json; 13x reduction
+        # measured by examples/leak_bisect.py --malloc-trim). ~0.1-1 ms.
+        malloc_trim()
         dt = time.perf_counter() - t0
         return {
             "events": events, "videos": n_videos, "frames": n_frames,

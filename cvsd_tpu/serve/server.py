@@ -26,6 +26,8 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
+from cvsd_tpu.utils.hostmem import maybe_malloc_trim
+
 
 class _Server(ThreadingHTTPServer):
     # stdlib default backlog is 5; 32+ concurrent clients connecting while a
@@ -139,6 +141,9 @@ class ScoringServer:
         for n in sizes:
             out.append(scores[off:off + n])
             off += n
+        # long-running server: return freed arena pages (round-4 soak leak;
+        # time-gated so it never shows in per-request latency)
+        maybe_malloc_trim()
         return out
 
     def _run_detect_batch(self, canvases):

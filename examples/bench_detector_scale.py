@@ -53,6 +53,11 @@ def main() -> None:
                          "decode/NMS) per point — isolates postprocess "
                          "overhead from the conv stack")
     ap.add_argument("--out", default=None, help="write results JSON here")
+    ap.add_argument("--points", default=None,
+                    help="override the scale points as comma-separated "
+                         "width:divisor pairs, e.g. '0.25:8,0.375:8' (the "
+                         "production streaming width is 0.25 — PROFILE.md's "
+                         "batch-dependent Bc lever needs it measured)")
     args = ap.parse_args()
 
     import jax
@@ -79,8 +84,15 @@ def main() -> None:
         float(jnp.sum(f.astype(jnp.float32)))
 
     reduce_ = jax.jit(lambda outs: sum(jnp.sum(o.astype(jnp.float32)) for o in outs))
+    points = POINTS
+    if args.points:
+        points = []
+        for spec in args.points.split(","):
+            w, _, d = spec.partition(":")
+            wm, div = float(w), int(d or 8)
+            points.append((f"custom ({wm}/div{div})", wm, div))
     results = []
-    for name, wm, div in POINTS:
+    for name, wm, div in points:
         cfg = get_default_config()
         cfg["detector"].update(img_size=args.img, width_mult=wm, channel_divisor=div,
                                depth_mult=args.depth_mult,

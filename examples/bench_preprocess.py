@@ -31,6 +31,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -202,6 +203,11 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/bench_preprocess")
     ap.add_argument("--native-decode", choices=["auto", "on", "off"],
                     default="auto", help="C++ batched decoder for the multiplexed path")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="repeat the timed fast AND naive legs N times and "
+                         "report median + min/max (single-shot A/Bs through "
+                         "the relay are swamped by RTT jitter — RESULTS.md "
+                         "round-4 job-55 caveat)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the environment pre-registers "
                          "a TPU backend; JAX_PLATFORMS alone does not win)")
@@ -246,11 +252,22 @@ def main() -> None:
     shared = DetectionPipeline(cfg)
     preprocess_ucf_crime(cfg, root, output_dir=os.path.join(args.out, "fast_py"),
                          limit=1, verbose=False, pipeline=shared)  # warm compile
-    t0 = time.perf_counter()
-    fast = preprocess_ucf_crime(cfg, root, output_dir=fast_dir, verbose=False,
-                                pipeline=shared, max_streams=args.max_streams)
-    fast["wall_seconds"] = time.perf_counter() - t0
-    fast["videos_per_hour"] = fast["videos"] / fast["wall_seconds"] * 3600
+    try:
+        print(f"host loadavg at start: {os.getloadavg()}")
+    except OSError:
+        pass
+    fast_fps_runs = []
+    for rep in range(max(1, args.repeats)):
+        for f in os.listdir(fast_dir):
+            os.remove(os.path.join(fast_dir, f))
+        t0 = time.perf_counter()
+        fast = preprocess_ucf_crime(cfg, root, output_dir=fast_dir, verbose=False,
+                                    pipeline=shared, max_streams=args.max_streams)
+        fast["wall_seconds"] = time.perf_counter() - t0
+        fast["videos_per_hour"] = fast["videos"] / fast["wall_seconds"] * 3600
+        fast_fps_runs.append(fast["fps"])
+        if args.repeats > 1:
+            print(f"fast repeat {rep}: {fast['fps']:.1f} fps", flush=True)
     print(f"fast: {json.dumps({k: (round(v, 2) if isinstance(v, float) else v) for k, v in fast.items() if k not in ('skipped', 'stage_seconds')})}")
     if fast.get("stage_seconds"):
         print(f"fast stages: {json.dumps({k: round(v, 2) for k, v in fast['stage_seconds'].items()})}")
@@ -276,7 +293,13 @@ def main() -> None:
 
     # naive reference-loop emulation on a subset, twice:
     # (a) timing-faithful: its own batch-1 program, one dispatch per frame
-    naive = run_naive(cfg, root, os.path.join(args.out, "naive_t"), args.naive_videos)
+    naive_fps_runs = []
+    for rep in range(max(1, args.repeats)):
+        naive = run_naive(cfg, root, os.path.join(args.out, "naive_t"),
+                          args.naive_videos)
+        naive_fps_runs.append(naive["fps"])
+        if args.repeats > 1:
+            print(f"naive repeat {rep}: {naive['fps']:.1f} fps", flush=True)
     print(f"naive (reference emulation, {naive['videos']} videos): "
           f"{naive['fps']:.1f} fps, {naive['videos_per_hour']:.0f} videos/h")
     # (b) bit-faithful: same compiled batch program per frame -> rows must be
@@ -300,11 +323,16 @@ def main() -> None:
               f"{naive_ref['fps']:.1f} fps, {naive_ref['videos_per_hour']:.0f} videos/h")
 
     cmp = compare_rows(fast_dir, naive_bit_dir, args.naive_videos)
-    speedup = fast["fps"] / naive["fps"] if naive["fps"] else float("inf")
+    fast_med = statistics.median(fast_fps_runs)
+    naive_med = statistics.median(naive_fps_runs)
+    speedup = fast_med / naive_med if naive_med else float("inf")
     result = {
-        "fast_fps": round(fast["fps"], 1),
+        "fast_fps": round(fast_med, 1),
+        "fast_fps_band": [round(min(fast_fps_runs), 1), round(max(fast_fps_runs), 1)],
         "fast_videos_per_hour": round(fast["videos_per_hour"], 1),
-        "naive_fps": round(naive["fps"], 2),
+        "naive_fps": round(naive_med, 2),
+        "naive_fps_band": [round(min(naive_fps_runs), 2), round(max(naive_fps_runs), 2)],
+        "repeats": max(1, args.repeats),
         "speedup_vs_reference_loop": round(speedup, 1),
         "rows_match": cmp["match"],
         "max_coord_diff": cmp["max_coord_diff"],
@@ -314,7 +342,7 @@ def main() -> None:
     }
     if naive_ref is not None:
         result["naive_ref_geom_fps"] = round(naive_ref["fps"], 2)
-        result["speedup_vs_reference_geometry"] = round(fast["fps"] / naive_ref["fps"], 1)
+        result["speedup_vs_reference_geometry"] = round(fast_med / naive_ref["fps"], 1)
     print(json.dumps(result))
 
 

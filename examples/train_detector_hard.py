@@ -116,6 +116,13 @@ def main() -> None:
                     help="also save the trained detector (.msgpack) for reuse "
                          "(e.g. examples/eval_int8_accuracy.py)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cosine", action="store_true",
+                    help="warmup + cosine-decay LR over --steps (trainer "
+                         "supports it; flat Adam leaves kpt RMS on the "
+                         "table — the round-5 convergence recipe)")
+    ap.add_argument("--warmup-steps", type=int, default=200)
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="EMA decay for eval/export params (0 = off)")
     args = ap.parse_args()
 
     import jax
@@ -137,7 +144,10 @@ def main() -> None:
 
     model = PersonDetector(img_size=args.img, width_mult=args.width,
                            depth_mult=args.depth, num_keypoints=17)
-    trainer = DetectorTrainer(model, lr=args.lr, kpt_weight=0.1)
+    trainer = DetectorTrainer(model, lr=args.lr, kpt_weight=0.1,
+                              total_steps=args.steps if args.cosine else 0,
+                              warmup_steps=args.warmup_steps,
+                              ema_decay=args.ema)
 
     done, losses = _load_partial(args.out, trainer)
     t0 = time.time()
@@ -165,7 +175,8 @@ def main() -> None:
     ev_imgs, ev_b, ev_v, ev_k = rendered_scene_batch(
         eval_rng, args.eval_size, args.img, args.max_persons, seq_source)
     detect = make_detect_fn(model, conf_thresh=0.25, iou_thresh=0.45, max_detections=16)
-    res = _retry(lambda: evaluate_detector(detect, trainer.variables,
+    eval_vars = trainer.ema_variables if args.ema else trainer.variables
+    res = _retry(lambda: evaluate_detector(detect, eval_vars,
                                            ev_imgs, ev_b, ev_v, ev_k,
                                            coco_map=True))
     summary = {
@@ -180,8 +191,10 @@ def main() -> None:
         "keypoints": res.get("keypoints"),
         "seconds": round(time.time() - t0, 1),
     }
+    summary["cosine"] = args.cosine
+    summary["ema"] = args.ema
     if args.save_checkpoint:
-        trainer.save(args.save_checkpoint, use_ema=False)
+        trainer.save(args.save_checkpoint, use_ema=bool(args.ema))
         print(f"saved checkpoint -> {args.save_checkpoint}")
     print(json.dumps(summary, indent=2))
     with open(args.out, "w") as f:

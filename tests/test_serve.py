@@ -217,8 +217,22 @@ def test_warmup_compiles_the_serving_programs():
     scorer = ShopformerScorer(model, model.init_variables(jax.random.PRNGKey(0)), cfg)
     from cvsd_tpu.pipeline.preprocess import DetectionPipeline
 
-    srv = ScoringServer(scorer, DetectionPipeline(cfg), port=0, microbatch=False)
+    detection = DetectionPipeline(cfg)
+    srv = ScoringServer(scorer, detection, port=0, microbatch=False)
+    # no-microbatch /detect dispatches batch 1 per request — warmup must warm
+    # THAT program, not the detect_batch one (advisor r4: warming only the
+    # padded shape left the first real /detect paying the full compile)
+    seen_batches = []
+    real_detect = detection.detect_frames
+
+    def spy(frames, *a, **k):
+        seen_batches.append(len(frames))
+        return real_detect(frames, *a, **k)
+
+    detection.detect_frames = spy
     times = srv.warmup()
+    detection.detect_frames = real_detect
+    assert seen_batches == [1]
     assert set(times) == {"score_s", "detect_s"}
     assert all(t >= 0 for t in times.values())
     assert scorer._score._cache_size() == 1
