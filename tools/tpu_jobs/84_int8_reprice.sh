@@ -1,5 +1,5 @@
 # TIMEOUT=5400
-# Re-price int8 PTQ/QAT against the CONVERGED float checkpoint (needs 66_):
+# Re-price int8 PTQ/QAT against the CONVERGED float checkpoint (needs 82_):
 # round-4's "QAT beats float" claim should collapse to parity once float is
 # trained to plateau — measure it rather than assume.
 test -f artifacts/hard_det_converged.msgpack || exit 1
